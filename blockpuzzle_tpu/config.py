@@ -1,0 +1,112 @@
+"""Frozen configuration dataclasses for the BlockPuzzle TPU engine.
+
+The reference (matthew9671/BlockPuzzle-gym) exposes its knobs as ``__init__``
+kwargs on the env class (SURVEY.md §5 "Config / flag system"; the reference
+mount was empty at build time — see SURVEY.md §0 — so the knob set below is the
+canonical in-repo spec reconstructed from BASELINE.json's north_star: grid
+size, queue length, piece set, reward constants, region-clear on/off).
+
+Every field is a compile-time constant baked into the jitted step program:
+``EnvConfig`` is frozen + hashable so it can be a ``static_argnum`` to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static game configuration shared by the CPU oracle and the TPU engine.
+
+    Attributes:
+      height, width: board dimensions (cells).
+      queue_size: number of visible piece slots ("hand" size).
+      refill_batch: if True (1010!-style) the hand refills only when ALL
+        slots are empty; if False each slot refills immediately after its
+        piece is placed.
+      piece_set: name of the polyomino library ("classic19" or "mini5").
+      region_clear: additionally clear full ``region_size``×``region_size``
+        sub-squares (Woodoku variant; requires height % region_size == 0
+        and width % region_size == 0).
+      region_size: side of the clearable sub-squares.
+      cell_reward: reward per cell of a successfully placed piece.
+      line_base: base for the simultaneous-clear bonus
+        ``line_base * k * (k + 1) / 2`` for ``k`` full rows+cols(+regions)
+        cleared at once.
+      illegal_penalty: reward returned for an illegal action (the action is
+        a no-op; the episode does not terminate).
+      terminal_penalty: extra reward added on the transition that ends the
+        episode (game over).
+      max_steps: truncation horizon; 0 disables truncation (the game's own
+        game-over rule is the only terminal).
+    """
+
+    height: int = 10
+    width: int = 10
+    queue_size: int = 1
+    refill_batch: bool = False
+    piece_set: str = "classic19"
+    region_clear: bool = False
+    region_size: int = 3
+    cell_reward: float = 1.0
+    line_base: float = 10.0
+    illegal_penalty: float = 0.0
+    terminal_penalty: float = 0.0
+    max_steps: int = 0
+
+    def __post_init__(self) -> None:
+        if self.height <= 0 or self.width <= 0:
+            raise ValueError("board dimensions must be positive")
+        if self.queue_size <= 0:
+            raise ValueError("queue_size must be positive")
+        if self.region_clear and (
+            self.height % self.region_size or self.width % self.region_size
+        ):
+            raise ValueError(
+                "region_clear requires height and width divisible by region_size"
+            )
+
+    @property
+    def num_cells(self) -> int:
+        return self.height * self.width
+
+    @property
+    def board_shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    def num_actions(self) -> int:
+        """Flat action space size: slot-major, then row-major anchor."""
+        return self.queue_size * self.height * self.width
+
+
+def default_config() -> EnvConfig:
+    """The PR1/parity config: 10×10 grid, single-piece queue, rows+cols clear."""
+    return EnvConfig()
+
+
+def tenten_config() -> EnvConfig:
+    """1010!-style variant: 10×10 grid, hand of 3 with batch refill."""
+    return EnvConfig(queue_size=3, refill_batch=True)
+
+
+def woodoku_config() -> EnvConfig:
+    """Woodoku variant: 9×9 grid, hand of 3, 3×3 region clears."""
+    return EnvConfig(
+        height=9, width=9, queue_size=3, refill_batch=True, region_clear=True
+    )
+
+
+def big_config() -> EnvConfig:
+    """Larger-grid / multi-piece-queue variant (BASELINE config 3)."""
+    return EnvConfig(height=16, width=16, queue_size=3, refill_batch=True)
+
+
+PRESETS = {
+    "default": default_config,
+    "tenten": tenten_config,
+    "woodoku": woodoku_config,
+    "big": big_config,
+}

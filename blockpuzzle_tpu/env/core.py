@@ -1,0 +1,429 @@
+"""Batched BlockPuzzle engine: pure jit/vmap-able init/reset/step.
+
+This replaces the reference's per-step Python dispatch (SURVEY.md §3.2) with a
+single XLA program stepping N envs in lockstep (§3.3).  TPU-first design:
+
+  * Legality for EVERY (piece, row, col) placement of the whole piece library
+    is one bf16 matmul ``board(N,HW) @ cover_T(HW, P*HW)`` on the MXU — each
+    output element is the occupied-cell count under one candidate footprint
+    (exact in bf16: counts ≤ 9).  The same product serves action masking,
+    the game-over check, and the policy's illegal-logit mask, so the most
+    expensive reference computation (SURVEY.md §7.2 #3, the O(S·H·W·cells)
+    "any piece fits anywhere" scan) costs one MXU pass.
+  * The chosen action's legality is NOT recomputed via the big matmul: a
+    single gathered footprint row + dot with the board suffices (VPU).
+  * Clear-scan, reward, dealing, auto-reset, and obs packing are fused
+    elementwise ops in the same program; XLA fuses them into the step kernel.
+  * Dealing uses counter-based RNG: ``fold_in(base_key, rng_counter)`` per
+    env per step — checkpoint/resume and auto-reset stay bit-exact.
+  * Parity mode injects the oracle's dealt-piece stream (``deal_override``)
+    so trajectories match Python-MT19937 dealing bit-for-bit without
+    reimplementing MT19937 on TPU (SURVEY.md §7.1 PR2).
+
+An optional Pallas path (``backend="pallas"``) swaps the placement/clear inner
+ops for hand-written TPU kernels (blockpuzzle_tpu.kernels); ``"jnp"`` is the
+default because the axon platform showed Pallas compile instability
+(SURVEY.md §7.0) and XLA already fuses this program well.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blockpuzzle_tpu import rules
+from blockpuzzle_tpu.config import EnvConfig
+from blockpuzzle_tpu.env.state import EnvState, TimeStep
+
+
+class VecBlockPuzzle:
+    """Vectorized BlockPuzzle over a (N, H*W) uint8 board tensor.
+
+    All methods are pure functions of their inputs; the instance only holds
+    static configuration and constant tables (baked into jitted programs).
+    Instances are hashable by identity, so bound methods can be jitted.
+    """
+
+    def __init__(self, cfg: EnvConfig, backend: str = "jnp") -> None:
+        if backend not in ("jnp", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.cfg = cfg
+        self.backend = backend
+        t = rules.tables_for(cfg)
+        self.tables = t
+        self.num_pieces = t.num_pieces
+        self.empty_id = t.num_pieces
+        self.num_actions = cfg.num_actions()
+
+        # Constant device tables (become jit-time constants via closure).
+        self._cover_u8 = jnp.asarray(t.cover, dtype=jnp.uint8)           # (P*HW, HW)
+        self._cover_t_bf16 = jnp.asarray(t.cover.T, dtype=jnp.bfloat16)  # (HW, P*HW)
+        self._valid = jnp.asarray(t.valid)                               # (P*HW,)
+        self._piece_cells = jnp.asarray(t.piece_cells, dtype=jnp.int32)  # (P,)
+        # Legal anchors on an EMPTY board, per piece: exactly the in-bounds
+        # mask. Used to produce the action mask of freshly auto-reset envs
+        # without a second matmul.
+        self._empty_legal = jnp.asarray(
+            t.valid.reshape(t.num_pieces, cfg.num_cells)
+        )                                                                # (P, HW)
+        if cfg.region_clear:
+            self._region_masks = jnp.asarray(t.region_masks, dtype=jnp.uint8)
+            self._region_sizes = jnp.asarray(
+                t.region_masks.sum(axis=1), dtype=jnp.int32
+            )
+        else:
+            self._region_masks = None
+
+    # ------------------------------------------------------------------
+    # RNG: counter-based deals
+    # ------------------------------------------------------------------
+
+    def _deal_batch(self, base_key: jax.Array, counter: jax.Array, tag: int) -> jax.Array:
+        """(N, S) uniform piece ids from per-env counter-folded keys.
+
+        tag separates draw purposes (0 = refill, 1 = auto-reset redeal) so
+        they never alias for the same counter value.
+        """
+
+        def one(key, ctr):
+            k = jax.random.fold_in(jax.random.fold_in(key, ctr), tag)
+            return jax.random.randint(
+                k, (self.cfg.queue_size,), 0, self.num_pieces, dtype=jnp.int32
+            )
+
+        return jax.vmap(one)(base_key, counter)
+
+    # ------------------------------------------------------------------
+    # Masking: the MXU legality matmul
+    # ------------------------------------------------------------------
+
+    def legal_all_pieces(self, board: jax.Array) -> jax.Array:
+        """(N, P, HW) bool: legality of every piece at every anchor.
+
+        One bf16 matmul: counts of occupied cells under each footprint.
+        """
+        counts = jnp.dot(
+            board.astype(jnp.bfloat16),
+            self._cover_t_bf16,
+            preferred_element_type=jnp.float32,
+        )  # (N, P*HW)
+        legal = jnp.logical_and(counts == 0, self._valid[None, :])
+        n = board.shape[0]
+        return legal.reshape(n, self.num_pieces, self.cfg.num_cells)
+
+    def action_mask(self, board: jax.Array, queue: jax.Array) -> jax.Array:
+        """(N, S*HW) bool legal-action mask for the current hand."""
+        legal_all = self.legal_all_pieces(board)
+        return self._mask_from_legal_all(legal_all, queue)
+
+    def _mask_from_legal_all(
+        self, legal_all: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        n = queue.shape[0]
+        pid = jnp.minimum(queue, self.num_pieces - 1)                 # (N, S)
+        per_slot = jnp.take_along_axis(legal_all, pid[:, :, None], axis=1)
+        per_slot = jnp.logical_and(per_slot, (queue < self.num_pieces)[:, :, None])
+        return per_slot.reshape(n, self.num_actions)
+
+    def _empty_board_mask(self, queue: jax.Array) -> jax.Array:
+        """Action mask for a fresh (empty) board — precomputed, no matmul."""
+        n = queue.shape[0]
+        pid = jnp.minimum(queue, self.num_pieces - 1)
+        per_slot = jnp.take(self._empty_legal, pid, axis=0)           # (N, S, HW)
+        per_slot = jnp.logical_and(per_slot, (queue < self.num_pieces)[:, :, None])
+        return per_slot.reshape(n, self.num_actions)
+
+    # ------------------------------------------------------------------
+    # Clear scan
+    # ------------------------------------------------------------------
+
+    def clear_scan(self, board: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Simultaneous full-line(+region) clear.
+
+        Args:
+          board: (N, HW) uint8 post-placement board.
+        Returns:
+          (cleared_board (N, HW) uint8, k (N,) int32 lines+regions cleared).
+        The full set is computed before any clearing (reference simultaneity
+        semantics, SURVEY.md §2.1 "Line/region clear").
+        """
+        cfg = self.cfg
+        n = board.shape[0]
+        b = board.reshape(n, cfg.height, cfg.width)
+        rows_full = jnp.all(b == 1, axis=2)                           # (N, H)
+        cols_full = jnp.all(b == 1, axis=1)                           # (N, W)
+        k = rows_full.sum(axis=1) + cols_full.sum(axis=1)
+        clear = jnp.logical_or(rows_full[:, :, None], cols_full[:, None, :])
+        if self._region_masks is not None:
+            # region r full iff board ∧ region_mask has region_size² cells
+            occ = jnp.dot(
+                board.astype(jnp.bfloat16),
+                jnp.asarray(self._region_masks.T, dtype=jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (N, R)
+            regions_full = occ == self._region_sizes[None, :].astype(jnp.float32)
+            k = k + regions_full.sum(axis=1)
+            region_clear = jnp.einsum(
+                "nr,rc->nc",
+                regions_full.astype(jnp.uint8),
+                self._region_masks,
+            ).astype(bool)
+            clear = jnp.logical_or(clear, region_clear.reshape(n, cfg.height, cfg.width))
+        cleared = jnp.where(clear, jnp.uint8(0), b)
+        return cleared.reshape(n, cfg.num_cells), k.astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # init / reset
+    # ------------------------------------------------------------------
+
+    def init(
+        self,
+        key: jax.Array,
+        num_envs: int,
+        deal_override: Optional[jax.Array] = None,
+    ) -> Tuple[EnvState, TimeStep]:
+        """Fresh batched state + initial timestep.
+
+        Args:
+          key: single PRNG key; split into per-env stream roots.
+          num_envs: N.
+          deal_override: optional (N, S) int32 initial hand (parity mode —
+            the oracle's reset deals).
+        """
+        cfg = self.cfg
+        base_key = jax.random.split(key, num_envs)
+        counter = jnp.zeros(num_envs, dtype=jnp.int32)
+        if deal_override is None:
+            queue = self._deal_batch(base_key, counter, tag=1)
+        else:
+            queue = jnp.asarray(deal_override, dtype=jnp.int32)
+        state = EnvState(
+            board=jnp.zeros((num_envs, cfg.num_cells), dtype=jnp.uint8),
+            queue=queue,
+            base_key=base_key,
+            rng_counter=jnp.ones(num_envs, dtype=jnp.int32),
+            steps=jnp.zeros(num_envs, dtype=jnp.int32),
+            score=jnp.zeros(num_envs, dtype=jnp.float32),
+        )
+        zeros_f = jnp.zeros(num_envs, dtype=jnp.float32)
+        zeros_b = jnp.zeros(num_envs, dtype=bool)
+        ts = TimeStep(
+            board=state.board.reshape(num_envs, cfg.height, cfg.width),
+            queue=state.queue,
+            action_mask=self._empty_board_mask(queue),
+            reward=zeros_f,
+            terminated=zeros_b,
+            truncated=zeros_b,
+            info={
+                "lines_cleared": jnp.zeros(num_envs, dtype=jnp.int32),
+                "legal": zeros_b,
+                "episode_return": zeros_f,
+                "episode_length": jnp.zeros(num_envs, dtype=jnp.int32),
+            },
+        )
+        return state, ts
+
+    def reset(self, state: EnvState) -> Tuple[EnvState, TimeStep]:
+        """Manual full reset of every env (auto-reset usually suffices)."""
+        n = state.num_envs
+        queue = self._deal_batch(state.base_key, state.rng_counter, tag=1)
+        new = state.replace(
+            board=jnp.zeros_like(state.board),
+            queue=queue,
+            rng_counter=state.rng_counter + 1,
+            steps=jnp.zeros_like(state.steps),
+            score=jnp.zeros_like(state.score),
+        )
+        zeros_f = jnp.zeros(n, dtype=jnp.float32)
+        zeros_b = jnp.zeros(n, dtype=bool)
+        ts = TimeStep(
+            board=new.board.reshape(n, self.cfg.height, self.cfg.width),
+            queue=new.queue,
+            action_mask=self._empty_board_mask(queue),
+            reward=zeros_f,
+            terminated=zeros_b,
+            truncated=zeros_b,
+            info={
+                "lines_cleared": jnp.zeros(n, dtype=jnp.int32),
+                "legal": zeros_b,
+                "episode_return": zeros_f,
+                "episode_length": jnp.zeros(n, dtype=jnp.int32),
+            },
+        )
+        return new, ts
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def step(
+        self,
+        state: EnvState,
+        action: jax.Array,
+        deal_override: Optional[jax.Array] = None,
+        auto_reset: bool = True,
+    ) -> Tuple[EnvState, TimeStep]:
+        """One lockstep transition for all N envs (SURVEY.md §3.3).
+
+        Args:
+          state: current EnvState.
+          action: (N,) int32 flat actions (slot * H*W + row * W + col).
+          deal_override: optional (N, S) int32 dealt-piece STREAM for this
+            step in deal order (parity mode); sentinel ``num_pieces`` where
+            the oracle dealt nothing.
+          auto_reset: re-initialize finished envs in the same pass (batch
+            semantics; disable for single-episode parity replay).
+        """
+        cfg = self.cfg
+        n = state.num_envs
+        hw = cfg.num_cells
+        action = action.astype(jnp.int32)
+
+        # -- decode + chosen-action legality (cheap gathered-row check) --
+        slot = action // hw                                           # (N,)
+        cell = action % hw
+        pid = jnp.take_along_axis(state.queue, slot[:, None], axis=1)[:, 0]
+        slot_filled = pid < self.num_pieces
+        pid_c = jnp.minimum(pid, self.num_pieces - 1)
+        g = pid_c * hw + cell                                         # global action id
+        cover_row = jnp.take(self._cover_u8, g, axis=0)               # (N, HW)
+        overlap = jnp.sum(
+            (state.board & cover_row).astype(jnp.int32), axis=1
+        )
+        legal = jnp.logical_and(
+            slot_filled,
+            jnp.logical_and(jnp.take(self._valid, g), overlap == 0),
+        )
+
+        # -- masked place + clear ----------------------------------------
+        placed = jnp.where(
+            legal[:, None], state.board | cover_row, state.board
+        )
+        cleared, k = self.clear_scan(placed)
+        k = jnp.where(legal, k, 0)
+        board_next = jnp.where(legal[:, None], cleared, state.board)
+
+        # -- reward -------------------------------------------------------
+        cells_placed = jnp.take(self._piece_cells, pid_c)
+        kf = k.astype(jnp.float32)
+        bonus = cfg.line_base * kf * (kf + 1.0) * 0.5
+        reward = jnp.where(
+            legal,
+            cfg.cell_reward * cells_placed.astype(jnp.float32) + bonus,
+            jnp.float32(cfg.illegal_penalty),
+        )
+
+        # -- queue consume + refill --------------------------------------
+        slot_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, cfg.queue_size), 1)
+            == slot[:, None]
+        )
+        consumed = jnp.logical_and(slot_onehot, legal[:, None])
+        queue2 = jnp.where(consumed, self.empty_id, state.queue)
+
+        empty = queue2 == self.empty_id                               # (N, S)
+        if cfg.refill_batch:
+            trigger = jnp.all(empty, axis=1)
+            refill_slots = jnp.logical_and(empty, trigger[:, None])
+        else:
+            refill_slots = empty
+        if deal_override is None:
+            deals = self._deal_batch(state.base_key, state.rng_counter, tag=0)
+        else:
+            deals = jnp.asarray(deal_override, dtype=jnp.int32)
+        # Deal-stream position of each refilled slot (ascending slot order —
+        # matches the oracle's draw order, the parity contract).
+        pos = jnp.cumsum(refill_slots.astype(jnp.int32), axis=1) - 1
+        deal_vals = jnp.take_along_axis(deals, jnp.maximum(pos, 0), axis=1)
+        queue3 = jnp.where(refill_slots, deal_vals, queue2)
+
+        # -- mask + termination ------------------------------------------
+        mask = self.action_mask(board_next, queue3)                   # MXU matmul
+        terminated = jnp.logical_not(jnp.any(mask, axis=1))
+        reward = jnp.where(
+            terminated, reward + jnp.float32(cfg.terminal_penalty), reward
+        )
+        steps_next = state.steps + 1
+        if cfg.max_steps > 0:
+            truncated = jnp.logical_and(
+                steps_next >= cfg.max_steps, jnp.logical_not(terminated)
+            )
+        else:
+            truncated = jnp.zeros(n, dtype=bool)
+        done = jnp.logical_or(terminated, truncated)
+        score_next = state.score + reward
+
+        info = {
+            "lines_cleared": k,
+            "legal": legal,
+            "episode_return": score_next,
+            "episode_length": steps_next,
+        }
+
+        # -- auto-reset (fused; SURVEY.md §3.3) --------------------------
+        if auto_reset:
+            reset_queue = self._deal_batch(
+                state.base_key, state.rng_counter, tag=1
+            )
+            board_out = jnp.where(
+                done[:, None], jnp.zeros_like(board_next), board_next
+            )
+            queue_out = jnp.where(done[:, None], reset_queue, queue3)
+            mask_out = jnp.where(
+                done[:, None], self._empty_board_mask(reset_queue), mask
+            )
+            steps_out = jnp.where(done, 0, steps_next)
+            score_out = jnp.where(done, 0.0, score_next)
+        else:
+            board_out, queue_out, mask_out = board_next, queue3, mask
+            steps_out, score_out = steps_next, score_next
+
+        new_state = EnvState(
+            board=board_out,
+            queue=queue_out,
+            base_key=state.base_key,
+            rng_counter=state.rng_counter + 1,
+            steps=steps_out,
+            score=score_out,
+        )
+        ts = TimeStep(
+            board=board_out.reshape(n, cfg.height, cfg.width),
+            queue=queue_out,
+            action_mask=mask_out,
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info=info,
+        )
+        return new_state, ts
+
+    # ------------------------------------------------------------------
+    # Convenience: jitted entry points
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def step_jit(self):
+        """Jitted fast-path step (auto-reset on, native RNG, donated state)."""
+        return jax.jit(
+            lambda state, action: self.step(state, action),
+            donate_argnums=(0,),
+        )
+
+    @functools.cached_property
+    def init_jit(self):
+        return jax.jit(self.init, static_argnums=(1,))
+
+    @functools.cached_property
+    def reset_jit(self):
+        return jax.jit(self.reset, donate_argnums=(0,))
+
+
+def make_env(cfg: Optional[EnvConfig] = None, backend: str = "jnp") -> VecBlockPuzzle:
+    """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
+    if cfg is None:
+        cfg = EnvConfig()
+    return VecBlockPuzzle(cfg, backend=backend)

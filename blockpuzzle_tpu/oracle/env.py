@@ -1,0 +1,261 @@
+"""CPU oracle environment: reference-faithful single-env Gymnasium surface.
+
+This is layer T0 of SURVEY.md §1.2 — the parity target for the batched TPU
+engine and the drop-in ``gym.make`` surface a user of the reference
+(matthew9671/BlockPuzzle-gym) would reach for.  The reference mount was empty
+at build time (SURVEY.md §0), so this oracle *is* the canonical spec: NumPy
+board, Python ``random.Random`` piece sampling (the reference's RNG per
+BASELINE.json: "Python random"), per-step Python dispatch, Gymnasium API
+(``reset(seed=) -> (obs, info)``, ``step -> (obs, r, terminated, truncated,
+info)``).
+
+Semantics (mirrors SURVEY.md §2.1 row by row):
+  * action id = slot * H * W + row * W + col; anchor = piece bbox top-left.
+  * legal iff slot non-empty, in-bounds, and zero overlap with occupied cells.
+  * illegal action: no-op, reward = cfg.illegal_penalty, episode continues.
+  * after a legal placement, ALL simultaneously full rows + cols (+ regions,
+    if cfg.region_clear) are computed first, then cleared at once.
+  * reward = cfg.cell_reward * cells_placed + line_bonus(k) with
+    k = number of full rows + cols (+ regions).
+  * piece dealing: one ``Random.randrange(num_pieces)`` per refilled slot, in
+    ascending slot order.  refill_batch=False refills the consumed slot
+    immediately; refill_batch=True refills all slots only once all are empty.
+  * game over (terminated) when no queued piece fits anywhere.
+  * truncation after cfg.max_steps steps (0 = never).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import gymnasium
+from gymnasium import spaces
+
+from blockpuzzle_tpu.config import EnvConfig, default_config
+from blockpuzzle_tpu import rules
+
+
+class BlockPuzzleOracleEnv(gymnasium.Env):
+    """Single BlockPuzzle environment (CPU, NumPy board, Python RNG)."""
+
+    metadata = {"render_modes": ["ansi", "human", "rgb_array"], "render_fps": 4}
+
+    def __init__(
+        self,
+        cfg: Optional[EnvConfig] = None,
+        render_mode: Optional[str] = None,
+        **overrides: Any,
+    ) -> None:
+        if cfg is None:
+            cfg = default_config()
+        if overrides:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, **overrides)
+        self.cfg = cfg
+        self.tables = rules.tables_for(cfg)
+        self.render_mode = render_mode
+
+        h, w, s = cfg.height, cfg.width, cfg.queue_size
+        self._empty_id = self.tables.num_pieces
+        self.action_space = spaces.Discrete(cfg.num_actions())
+        self.observation_space = spaces.Dict(
+            {
+                "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
+                # piece id per slot; num_pieces == empty-slot sentinel
+                "queue": spaces.Box(
+                    0, self.tables.num_pieces, shape=(s,), dtype=np.int32
+                ),
+            }
+        )
+
+        self.board = np.zeros((h, w), dtype=np.uint8)
+        self.queue = np.full(s, self._empty_id, dtype=np.int32)
+        self._rng = random.Random()
+        self.score = 0.0
+        self.steps = 0
+        self.lines_cleared_total = 0
+
+    # -- RNG / dealing ------------------------------------------------------
+
+    def _deal(self) -> int:
+        """One RNG draw = one dealt piece. Draw order is the parity contract."""
+        return self._rng.randrange(self.tables.num_pieces)
+
+    def _refill(self) -> None:
+        if self.cfg.refill_batch:
+            if np.all(self.queue == self._empty_id):
+                for i in range(self.cfg.queue_size):
+                    self.queue[i] = self._deal()
+        else:
+            for i in range(self.cfg.queue_size):
+                if self.queue[i] == self._empty_id:
+                    self.queue[i] = self._deal()
+
+    # -- placement / clear core --------------------------------------------
+
+    def can_place(self, piece_id: int, r: int, c: int) -> bool:
+        t = self.tables
+        ph, pw = int(t.piece_h[piece_id]), int(t.piece_w[piece_id])
+        if r < 0 or c < 0 or r + ph > self.cfg.height or c + pw > self.cfg.width:
+            return False
+        grid = t.pieces[piece_id, :ph, :pw]
+        window = self.board[r : r + ph, c : c + pw]
+        return not np.any(window & grid)
+
+    def legal_action_mask(self) -> np.ndarray:
+        """(queue_size * H * W,) bool mask over the flat action space."""
+        cfg = self.cfg
+        mask = np.zeros(cfg.num_actions(), dtype=bool)
+        for slot in range(cfg.queue_size):
+            pid = int(self.queue[slot])
+            if pid == self._empty_id:
+                continue
+            base = slot * cfg.num_cells
+            ph, pw = int(self.tables.piece_h[pid]), int(self.tables.piece_w[pid])
+            grid = self.tables.pieces[pid, :ph, :pw]
+            for r in range(cfg.height - ph + 1):
+                for c in range(cfg.width - pw + 1):
+                    if not np.any(self.board[r : r + ph, c : c + pw] & grid):
+                        mask[base + r * cfg.width + c] = True
+        return mask
+
+    def _place(self, piece_id: int, r: int, c: int) -> int:
+        t = self.tables
+        ph, pw = int(t.piece_h[piece_id]), int(t.piece_w[piece_id])
+        self.board[r : r + ph, c : c + pw] |= t.pieces[piece_id, :ph, :pw]
+        return int(t.piece_cells[piece_id])
+
+    def _clear(self) -> int:
+        """Simultaneous clear of all full rows + cols (+ regions). Returns k."""
+        cfg = self.cfg
+        full_rows = np.where(self.board.all(axis=1))[0]
+        full_cols = np.where(self.board.all(axis=0))[0]
+        k = len(full_rows) + len(full_cols)
+        region_cells: List[Tuple[int, int]] = []
+        if cfg.region_clear:
+            rs = cfg.region_size
+            for br in range(cfg.height // rs):
+                for bc in range(cfg.width // rs):
+                    block = self.board[
+                        br * rs : (br + 1) * rs, bc * rs : (bc + 1) * rs
+                    ]
+                    if block.all():
+                        k += 1
+                        region_cells.append((br, bc))
+        # compute the full set first, then clear all at once (simultaneity)
+        self.board[full_rows, :] = 0
+        self.board[:, full_cols] = 0
+        if cfg.region_clear:
+            rs = cfg.region_size
+            for br, bc in region_cells:
+                self.board[br * rs : (br + 1) * rs, bc * rs : (bc + 1) * rs] = 0
+        return k
+
+    def _game_over(self) -> bool:
+        cfg = self.cfg
+        for slot in range(cfg.queue_size):
+            pid = int(self.queue[slot])
+            if pid == self._empty_id:
+                continue
+            ph, pw = int(self.tables.piece_h[pid]), int(self.tables.piece_w[pid])
+            grid = self.tables.pieces[pid, :ph, :pw]
+            for r in range(cfg.height - ph + 1):
+                for c in range(cfg.width - pw + 1):
+                    if not np.any(self.board[r : r + ph, c : c + pw] & grid):
+                        return False
+        return True
+
+    # -- Gymnasium API ------------------------------------------------------
+
+    def _get_obs(self) -> Dict[str, np.ndarray]:
+        return {"board": self.board.copy(), "queue": self.queue.copy()}
+
+    def _get_info(self, **extra: Any) -> Dict[str, Any]:
+        info = {
+            "action_mask": self.legal_action_mask(),
+            "score": self.score,
+            "lines_cleared_total": self.lines_cleared_total,
+        }
+        info.update(extra)
+        return info
+
+    def reset(
+        self, *, seed: Optional[int] = None, options: Optional[dict] = None
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+        super().reset(seed=seed)
+        if seed is not None:
+            self._rng = random.Random(seed)
+        self.board[:] = 0
+        self.queue[:] = self._empty_id
+        self.score = 0.0
+        self.steps = 0
+        self.lines_cleared_total = 0
+        self._refill()
+        return self._get_obs(), self._get_info()
+
+    def step(
+        self, action: int
+    ) -> Tuple[Dict[str, np.ndarray], float, bool, bool, Dict[str, Any]]:
+        cfg = self.cfg
+        action = int(action)
+        if not 0 <= action < cfg.num_actions():
+            raise ValueError(f"action {action} out of range")
+        slot, r, c = rules.decode_action(cfg, action)
+        pid = int(self.queue[slot])
+
+        legal = pid != self._empty_id and self.can_place(pid, r, c)
+        lines = 0
+        if legal:
+            cells = self._place(pid, r, c)
+            lines = self._clear()
+            self.lines_cleared_total += lines
+            reward = cfg.cell_reward * cells + rules.line_bonus(cfg, lines)
+            self.queue[slot] = self._empty_id
+            self._refill()
+        else:
+            reward = cfg.illegal_penalty
+
+        self.steps += 1
+        terminated = self._game_over()
+        if terminated:
+            reward += cfg.terminal_penalty
+        truncated = cfg.max_steps > 0 and self.steps >= cfg.max_steps
+        self.score += reward
+        obs = self._get_obs()
+        info = self._get_info(legal=legal, lines_cleared=lines)
+        return obs, float(reward), terminated, truncated, info
+
+    # -- rendering ----------------------------------------------------------
+
+    def render(self):  # type: ignore[override]
+        if self.render_mode == "rgb_array":
+            return self._render_rgb()
+        text = self._render_ansi()
+        if self.render_mode == "human":
+            print(text)
+            return None
+        return text
+
+    def _render_ansi(self) -> str:
+        rows = ["".join("█" if v else "·" for v in row) for row in self.board]
+        queue_txt = " ".join(
+            "-" if q == self._empty_id else str(int(q)) for q in self.queue
+        )
+        return (
+            "\n".join(rows)
+            + f"\nqueue: [{queue_txt}]  score: {self.score:.1f}  steps: {self.steps}"
+        )
+
+    def _render_rgb(self, scale: int = 16) -> np.ndarray:
+        h, w = self.cfg.height, self.cfg.width
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[self.board == 0] = (24, 24, 32)
+        img[self.board == 1] = (90, 170, 255)
+        return np.kron(img, np.ones((scale, scale, 1), dtype=np.uint8))
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,177 @@
+"""Batched JAX engine tests: masks vs oracle, step semantics, auto-reset."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blockpuzzle_tpu import rules
+from blockpuzzle_tpu.config import default_config, tenten_config, woodoku_config
+from blockpuzzle_tpu.env import make_env
+from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
+
+
+def _random_board_and_queue(cfg, rng, fill=0.4):
+    t = rules.tables_for(cfg)
+    board = (rng.random((cfg.height, cfg.width)) < fill).astype(np.uint8)
+    # keep no full rows/cols (mid-episode invariant)
+    board[:, 0] = 0
+    board[0, :] = 0
+    queue = rng.integers(0, t.num_pieces, size=cfg.queue_size).astype(np.int32)
+    return board, queue
+
+
+@pytest.mark.parametrize(
+    "cfg", [default_config(), tenten_config(), woodoku_config()], ids=str
+)
+def test_action_mask_matches_oracle(cfg, rng):
+    env = make_env(cfg)
+    oracle = BlockPuzzleOracleEnv(cfg)
+    oracle.reset(seed=0)
+    boards, queues, expected = [], [], []
+    for _ in range(16):
+        b, q = _random_board_and_queue(cfg, rng)
+        oracle.board[:] = b
+        oracle.queue[:] = q
+        boards.append(b.reshape(-1))
+        queues.append(q)
+        expected.append(oracle.legal_action_mask())
+    mask = env.action_mask(
+        jnp.asarray(np.stack(boards), dtype=jnp.uint8), jnp.asarray(np.stack(queues))
+    )
+    np.testing.assert_array_equal(np.asarray(mask), np.stack(expected))
+
+
+def test_step_matches_oracle_single_transitions(rng):
+    cfg = default_config()
+    env = make_env(cfg)
+    oracle = BlockPuzzleOracleEnv(cfg)
+    step = jax.jit(
+        lambda s, a, d: env.step(s, a, deal_override=d, auto_reset=False)
+    )
+    for trial in range(32):
+        b, q = _random_board_and_queue(cfg, rng)
+        oracle.reset(seed=trial)
+        oracle.board[:] = b
+        oracle.queue[:] = q
+        a = int(rng.integers(0, cfg.num_actions()))
+        deal = np.array([[int(rng.integers(0, env.num_pieces))]], np.int32)
+
+        state, _ = env.init(jax.random.key(0), 1, deal_override=q[None])
+        state = state.replace(board=jnp.asarray(b.reshape(1, -1), jnp.uint8))
+        state, ts = step(state, jnp.asarray([a]), jnp.asarray(deal))
+
+        # oracle takes the same deal by stubbing its RNG stream
+        oracle._rng = _FixedDeals([int(deal[0, 0])])
+        obs, r, term, trunc, info = oracle.step(a)
+
+        np.testing.assert_array_equal(
+            np.asarray(ts.board[0]), obs["board"], err_msg=f"trial {trial}"
+        )
+        np.testing.assert_array_equal(np.asarray(ts.queue[0]), obs["queue"])
+        np.testing.assert_array_equal(
+            np.asarray(ts.action_mask[0]), info["action_mask"]
+        )
+        assert float(ts.reward[0]) == r
+        assert bool(ts.terminated[0]) == term
+        assert bool(ts.info["legal"][0]) == info["legal"]
+
+
+class _FixedDeals:
+    """random.Random stand-in feeding a fixed deal stream to the oracle."""
+
+    def __init__(self, vals):
+        self.vals = list(vals)
+
+    def randrange(self, n):
+        return self.vals.pop(0)
+
+
+def test_auto_reset_reinitializes_done_envs():
+    cfg = default_config()
+    env = make_env(cfg)
+    state, ts = env.init(jax.random.key(0), 4)
+    # craft env 0 to be near game over: all filled but one cell, 3x3 queued
+    board = np.asarray(state.board).copy()
+    board[0, :] = 1
+    board[0, 0] = 0
+    board[0, 11] = 0  # keep row/col invariant: leave two holes
+    queue = np.asarray(state.queue).copy()
+    queue[0] = 10  # 3x3 square cannot fit
+    state = state.replace(
+        board=jnp.asarray(board), queue=jnp.asarray(queue)
+    )
+    a = jnp.zeros(4, dtype=jnp.int32)  # illegal for env 0 (cell 0,0 blocked...)
+    state2, ts2 = env.step(state, a)
+    assert bool(ts2.terminated[0])
+    # auto-reset: board cleared, fresh queue, steps back to 0
+    assert int(np.asarray(state2.board[0]).sum()) == 0
+    assert int(state2.steps[0]) == 0
+    assert int(state2.queue[0, 0]) < env.num_pieces
+    assert bool(ts2.action_mask[0].any())
+    # non-done envs kept their steps counter
+    assert int(state2.steps[1]) == 1
+
+
+def test_rng_counter_never_resets():
+    cfg = default_config()
+    env = make_env(cfg)
+    state, _ = env.init(jax.random.key(0), 2)
+    c0 = np.asarray(state.rng_counter).copy()
+    for _ in range(3):
+        state, _ = env.step(state, jnp.zeros(2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(state.rng_counter), c0 + 3)
+
+
+def test_batched_rollout_runs_under_jit():
+    cfg = default_config()
+    env = make_env(cfg)
+    state, ts = env.init(jax.random.key(1), 64)
+
+    def policy(key, mask):
+        logits = jnp.where(mask, 0.0, -1e9)
+        return jax.random.categorical(key, logits, axis=-1)
+
+    @jax.jit
+    def rollout(state, mask, key):
+        def body(carry, _):
+            state, mask, key = carry
+            key, sub = jax.random.split(key)
+            a = policy(sub, mask)
+            state, ts = env.step(state, a)
+            return (state, ts.action_mask, key), (ts.reward, ts.terminated)
+
+        (state, mask, _), (rews, terms) = jax.lax.scan(
+            body, (state, mask, key), None, length=50
+        )
+        return state, rews, terms
+
+    state, rews, terms = rollout(state, ts.action_mask, jax.random.key(2))
+    rews = np.asarray(rews)
+    assert rews.shape == (50, 64)
+    assert rews.sum() > 0
+    # with a legal-only policy every step is legal and rewarded
+    assert (rews > 0).all()
+
+
+def test_episode_stats_match_oracle_distribution():
+    """Free-running jax env produces plausible episodes (sanity, not parity)."""
+    cfg = default_config()
+    env = make_env(cfg)
+    state, ts = env.init(jax.random.key(3), 32)
+    mask = ts.action_mask
+    key = jax.random.key(4)
+    done_seen = np.zeros(32, dtype=bool)
+    returns = []
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        logits = jnp.where(mask, 0.0, -1e9)
+        a = jax.random.categorical(sub, logits, axis=-1)
+        state, ts = env.step(state, a)
+        mask = ts.action_mask
+        done = np.asarray(ts.done)
+        if done.any():
+            returns.extend(np.asarray(ts.info["episode_return"])[done].tolist())
+        done_seen |= done
+    assert done_seen.any(), "no episode finished in 400 random steps"
+    assert min(returns) > 0
