@@ -1,0 +1,117 @@
+"""Headline benchmark: batched env-steps/s per chip (BASELINE.md).
+
+Runs the batched engine at its best-measured batch size with a uniform-legal
+random policy (the honest rollout workload: every step samples from the
+legal-action mask the env emits), steady-state, excluding compile.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_s_per_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 10_000_000}
+
+vs_baseline divides by the 10M steps/s/chip north-star target from
+BASELINE.json — the reference publishes no numbers of its own
+(BASELINE.md: `published: {}`; single-env Python envs of this genre run
+~1e4-1e5 steps/s, measured on stderr for context).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
+NUM_ENVS = 16384                   # best measured batch (see BENCH notes)
+CHUNK = 100
+ITERS = 5
+
+
+def bench_oracle(max_steps: int = 2000) -> float:
+    """Single-env CPU oracle steps/s (the reference-shaped baseline)."""
+    import random
+
+    import numpy as np
+
+    from blockpuzzle_tpu.config import default_config
+    from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
+
+    env = BlockPuzzleOracleEnv(default_config())
+    rng = random.Random(0)
+    obs, info = env.reset(seed=0)
+    t0 = time.time()
+    steps = 0
+    while steps < max_steps:
+        legal = np.flatnonzero(info["action_mask"])
+        if legal.size == 0:
+            obs, info = env.reset()
+            continue
+        obs, r, term, trunc, info = env.step(int(rng.choice(legal)))
+        steps += 1
+        if term or trunc:
+            obs, info = env.reset()
+    return steps / (time.time() - t0)
+
+
+def bench_device() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from blockpuzzle_tpu.env import make_env
+
+    env = make_env()
+    state, ts = env.init_jit(jax.random.key(0), NUM_ENVS)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(state, mask, key):
+        def body(carry, _):
+            state, mask, key = carry
+            key, sub = jax.random.split(key)
+            a = jax.random.categorical(
+                sub, jnp.where(mask, 0.0, -1e9), axis=-1
+            )
+            state, ts = env.step(state, a)
+            return (state, ts.action_mask, key), ts.reward.sum()
+
+        (state, mask, key), r = jax.lax.scan(
+            body, (state, mask, key), None, length=CHUNK
+        )
+        return state, mask, key, r.sum()
+
+    out = chunk(state, ts.action_mask, jax.random.key(1))  # compile + warmup
+    jax.block_until_ready(out)
+    state, mask, key, _ = out
+    t0 = time.time()
+    for _ in range(ITERS):
+        state, mask, key, r = chunk(state, mask, key)
+    jax.block_until_ready(r)
+    return ITERS * CHUNK * NUM_ENVS / (time.time() - t0)
+
+
+def main() -> int:
+    oracle_sps = bench_oracle()
+    print(
+        f"[bench] oracle single-env: {oracle_sps:,.0f} steps/s (1 CPU core)",
+        file=sys.stderr,
+    )
+    value = bench_device()
+    print(
+        f"[bench] device batched: {value / 1e6:.2f}M steps/s "
+        f"({value / oracle_sps:,.0f}x oracle)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_per_chip",
+                "value": round(value),
+                "unit": "steps/s",
+                "vs_baseline": round(value / BASELINE_STEPS_PER_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

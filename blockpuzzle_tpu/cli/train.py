@@ -1,0 +1,116 @@
+"""Training CLI: on-device PPO or DQN over the batched env (layer T7).
+
+Usage:
+    python -m blockpuzzle_tpu.cli.train --algo ppo --updates 100 \
+        --num-envs 4096 --preset default --log-dir /tmp/bp_logs
+
+Covers BASELINE configs 4-5: single-chip by default; multi-host via
+``--distributed`` (jax.distributed rendezvous) with the env axis sharded
+over the (dp, tp) mesh and gradients reduced over ICI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+from blockpuzzle_tpu import dist
+from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.env import make_env
+from blockpuzzle_tpu.learn import DQN, DQNConfig, PPO, PPOConfig
+from blockpuzzle_tpu.utils import CheckpointManager, MetricsLogger, Throughput
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="BlockPuzzle TPU trainer")
+    p.add_argument("--algo", choices=["ppo", "dqn"], default="ppo")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: run jax.distributed.initialize first")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a device trace for updates 2-4")
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                   help="cpu: force the CPU backend (debug/smoke runs)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        dist.init_distributed()
+
+    env = make_env(PRESETS[args.preset]())
+    mesh = dist.make_mesh(tp=args.tp)
+
+    if args.algo == "ppo":
+        learner = PPO(env, PPOConfig(
+            num_envs=args.num_envs, rollout_len=args.rollout_len, lr=args.lr,
+        ))
+        step_fn = learner.update_jit
+        steps_per_call = args.num_envs * args.rollout_len
+    else:
+        learner = DQN(env, DQNConfig(num_envs=args.num_envs, lr=args.lr))
+        step_fn = learner.iteration_jit
+        steps_per_call = args.num_envs * learner.cfg.collect_steps
+
+    state = learner.init(jax.random.key(args.seed))
+    shardings = dist.to_named(mesh, dist.train_state_spec(state))
+    state = jax.device_put(state, shardings)
+
+    ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
+    start = 0
+    if ckpt and args.resume and ckpt.latest_step() is not None:
+        start = ckpt.latest_step()
+        state = ckpt.restore(state)
+        print(f"resumed from update {start}")
+
+    logger = MetricsLogger(args.log_dir, run_name=f"{args.algo}-{args.preset}")
+    meter = Throughput()
+
+    from blockpuzzle_tpu.utils import device_trace
+    import contextlib
+
+    for update in range(start, args.updates):
+        profiling = (
+            device_trace(args.profile_dir)
+            if args.profile_dir and update == 2
+            else contextlib.nullcontext()
+        )
+        with profiling:
+            state, metrics = step_fn(state)
+        jax.block_until_ready(metrics["loss"] if "loss" in metrics else metrics)
+        sps = meter.tick(steps_per_call)
+        if (update + 1) % args.log_every == 0 or update == start:
+            metrics = dict(metrics)
+            metrics["env_steps_per_s"] = sps
+            host = logger.log(update + 1, metrics)
+            print(
+                f"update {update + 1}: return={host.get('episode_return', 0):.1f} "
+                f"loss={host.get('loss', 0):.4f} steps/s={sps / 1e6:.2f}M"
+            )
+        if ckpt and (update + 1) % args.checkpoint_every == 0:
+            ckpt.save(update + 1, state)
+    if ckpt:
+        ckpt.save(args.updates, state, force=True)
+        ckpt.close()
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

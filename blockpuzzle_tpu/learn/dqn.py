@@ -1,0 +1,326 @@
+"""On-device DQN learner (the "PPO/DQN" alternative of BASELINE's north_star).
+
+Double-DQN with an on-device circular replay buffer: collection (K batched
+env steps with epsilon-greedy over the legal-action mask), buffer writes,
+uniform sampling, TD update, and periodic target sync all run inside one
+jitted program — the host only dispatches and reads scalar metrics, mirroring
+the PPO design (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
+from blockpuzzle_tpu.learn.networks import NEG_INF, QNetwork
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    num_envs: int = 1024
+    buffer_size: int = 200_000     # transitions (across all envs)
+    batch_size: int = 4096
+    gamma: float = 0.995
+    lr: float = 1e-4
+    collect_steps: int = 4         # env steps per iteration
+    grad_steps: int = 1            # gradient steps per iteration
+    target_update_every: int = 500  # in gradient steps
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_iters: int = 2_000
+    min_buffer: int = 10_000
+    max_grad_norm: float = 10.0
+    hidden: int = 256
+    channels: Tuple[int, ...] = (32, 64)
+
+
+@struct.dataclass
+class Replay:
+    """Circular on-device replay buffer (capacity B transitions)."""
+
+    board: jax.Array        # (B, H*W) uint8
+    queue: jax.Array        # (B, S) int32
+    action_mask: jax.Array  # (B, A) bool
+    action: jax.Array       # (B,) int32
+    reward: jax.Array       # (B,) float32
+    next_board: jax.Array
+    next_queue: jax.Array
+    next_mask: jax.Array
+    terminated: jax.Array   # (B,) bool
+    cursor: jax.Array       # () int32 — next write slot
+    filled: jax.Array       # () int32 — number of valid entries
+
+
+@struct.dataclass
+class DQNState:
+    """Learner + env + replay state.  The current observation is derived
+    from ``env_state`` at iteration start (see PPO.TrainState note on
+    donation-safe aliasing)."""
+
+    params: Any
+    target_params: Any
+    opt_state: Any
+    env_state: EnvState
+    replay: Replay
+    key: jax.Array
+    iter_count: jax.Array
+    grad_count: jax.Array
+
+
+class DQN:
+    def __init__(self, env: VecBlockPuzzle, cfg: Optional[DQNConfig] = None):
+        self.env = env
+        self.cfg = cfg or DQNConfig()
+        self.net = QNetwork(
+            env.cfg, env.num_pieces,
+            channels=self.cfg.channels, hidden=self.cfg.hidden,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.cfg.max_grad_norm),
+            optax.adam(self.cfg.lr),
+        )
+
+    def init(self, key: jax.Array) -> DQNState:
+        cfg, env_cfg = self.cfg, self.env.cfg
+        k_env, k_net, k_run = jax.random.split(key, 3)
+        env_state, ts = self.env.init(k_env, cfg.num_envs)
+        params = self.net.init(
+            k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
+        )
+        b = cfg.buffer_size
+        replay = Replay(
+            board=jnp.zeros((b, env_cfg.num_cells), jnp.uint8),
+            queue=jnp.zeros((b, env_cfg.queue_size), jnp.int32),
+            action_mask=jnp.zeros((b, env_cfg.num_actions()), bool),
+            action=jnp.zeros((b,), jnp.int32),
+            reward=jnp.zeros((b,), jnp.float32),
+            next_board=jnp.zeros((b, env_cfg.num_cells), jnp.uint8),
+            next_queue=jnp.zeros((b, env_cfg.queue_size), jnp.int32),
+            next_mask=jnp.zeros((b, env_cfg.num_actions()), bool),
+            terminated=jnp.zeros((b,), bool),
+            cursor=jnp.zeros((), jnp.int32),
+            filled=jnp.zeros((), jnp.int32),
+        )
+        del ts
+        return DQNState(
+            params=params,
+            # deep copy: sharing buffers with params would make state
+            # donation fail ("donate the same buffer twice")
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=self.tx.init(params),
+            env_state=env_state,
+            replay=replay,
+            key=k_run,
+            iter_count=jnp.zeros((), jnp.int32),
+            grad_count=jnp.zeros((), jnp.int32),
+        )
+
+    def observe(self, env_state: EnvState):
+        cfg = self.env.cfg
+        n = env_state.board.shape[0]
+        board = env_state.board.reshape(n, cfg.height, cfg.width)
+        mask = self.env.action_mask(env_state.board, env_state.queue)
+        return board, env_state.queue, mask
+
+    # ------------------------------------------------------------------
+
+    def _epsilon(self, it: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        frac = jnp.clip(it / cfg.eps_decay_iters, 0.0, 1.0)
+        return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
+
+    def _act(self, params, board, queue, mask, key, eps) -> jax.Array:
+        """Epsilon-greedy over LEGAL actions only."""
+        k_eps, k_rand = jax.random.split(key)
+        q = self.net.apply(params, board, queue, mask)
+        greedy = jnp.argmax(q, axis=-1)
+        # uniform over legal: gumbel-max over the mask
+        rand = jax.random.categorical(
+            k_rand, jnp.where(mask, 0.0, NEG_INF), axis=-1
+        )
+        explore = jax.random.uniform(k_eps, greedy.shape) < eps
+        return jnp.where(explore, rand, greedy)
+
+    def _write_replay(self, replay: Replay, trans: Dict[str, jax.Array]) -> Replay:
+        n = trans["action"].shape[0]
+        idx = (replay.cursor + jnp.arange(n)) % self.cfg.buffer_size
+
+        def put(buf, val):
+            return buf.at[idx].set(val)
+
+        return replay.replace(
+            board=put(replay.board, trans["board"]),
+            queue=put(replay.queue, trans["queue"]),
+            action_mask=put(replay.action_mask, trans["action_mask"]),
+            action=put(replay.action, trans["action"]),
+            reward=put(replay.reward, trans["reward"]),
+            next_board=put(replay.next_board, trans["next_board"]),
+            next_queue=put(replay.next_queue, trans["next_queue"]),
+            next_mask=put(replay.next_mask, trans["next_mask"]),
+            terminated=put(replay.terminated, trans["terminated"]),
+            cursor=(replay.cursor + n) % self.cfg.buffer_size,
+            filled=jnp.minimum(replay.filled + n, self.cfg.buffer_size),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _td_loss(self, params, target_params, sample) -> Tuple[jax.Array, Dict]:
+        cfg, env_cfg = self.cfg, self.env.cfg
+        h, w = env_cfg.board_shape
+        q = self.net.apply(
+            params,
+            sample["board"].reshape(-1, h, w),
+            sample["queue"],
+            sample["action_mask"],
+        )
+        q_sa = jnp.take_along_axis(q, sample["action"][:, None], axis=1)[:, 0]
+        # Double DQN: online net argmax, target net evaluation
+        next_board = sample["next_board"].reshape(-1, h, w)
+        q_next_online = self.net.apply(
+            params, next_board, sample["next_queue"], sample["next_mask"]
+        )
+        a_star = jnp.argmax(q_next_online, axis=-1)
+        q_next_target = self.net.apply(
+            target_params, next_board, sample["next_queue"], sample["next_mask"]
+        )
+        q_next = jnp.take_along_axis(q_next_target, a_star[:, None], axis=1)[:, 0]
+        # terminal states (no legal action) bootstrap to 0
+        q_next = jnp.where(sample["terminated"], 0.0, q_next)
+        target = sample["reward"] + cfg.gamma * q_next
+        td = q_sa - jax.lax.stop_gradient(target)
+        loss = jnp.square(td).mean()
+        return loss, {"loss": loss, "q_mean": q_sa.mean(), "td_abs": jnp.abs(td).mean()}
+
+    # ------------------------------------------------------------------
+
+    def iteration(self, state: DQNState) -> Tuple[DQNState, Dict[str, jax.Array]]:
+        """collect_steps env steps + grad_steps TD updates, all on device."""
+        cfg = self.cfg
+        eps = self._epsilon(state.iter_count)
+
+        def collect(carry, _):
+            env_state, board, queue, mask, replay, key = carry
+            key, k_act = jax.random.split(key)
+            action = self._act(state.params, board, queue, mask, k_act, eps)
+            env_state, ts = self.env.step(env_state, action)
+            trans = {
+                "board": board.reshape(board.shape[0], -1),
+                "queue": queue,
+                "action_mask": mask,
+                "action": action,
+                "reward": ts.reward,
+                "next_board": ts.board.reshape(board.shape[0], -1),
+                "next_queue": ts.queue,
+                "next_mask": ts.action_mask,
+                "terminated": ts.terminated,
+            }
+            replay = self._write_replay(replay, trans)
+            ep = (ts.info["episode_return"] * ts.done, ts.done)
+            return (env_state, ts.board, ts.queue, ts.action_mask, replay, key), ep
+
+        board0, queue0, mask0 = self.observe(state.env_state)
+        (env_state, board, queue, mask, replay, key), (ep_ret, dones) = (
+            jax.lax.scan(
+                collect,
+                (state.env_state, board0, queue0, mask0,
+                 state.replay, state.key),
+                None,
+                length=cfg.collect_steps,
+            )
+        )
+
+        def grad_step(carry, _):
+            params, target_params, opt_state, grad_count, key = carry
+            key, k_samp = jax.random.split(key)
+            idx = jax.random.randint(
+                k_samp, (cfg.batch_size,), 0, jnp.maximum(replay.filled, 1)
+            )
+            sample = {
+                "board": replay.board[idx],
+                "queue": replay.queue[idx],
+                "action_mask": replay.action_mask[idx],
+                "action": replay.action[idx],
+                "reward": replay.reward[idx],
+                "next_board": replay.next_board[idx],
+                "next_queue": replay.next_queue[idx],
+                "next_mask": replay.next_mask[idx],
+                "terminated": replay.terminated[idx],
+            }
+            grads, metrics = jax.grad(self._td_loss, has_aux=True)(
+                params, target_params, sample
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            grad_count = grad_count + 1
+            target_params = jax.tree.map(
+                lambda t, p: jnp.where(
+                    grad_count % cfg.target_update_every == 0, p, t
+                ),
+                target_params,
+                params,
+            )
+            return (params, target_params, opt_state, grad_count, key), metrics
+
+        warm = replay.filled >= cfg.min_buffer
+
+        def do_updates(operand):
+            params, target_params, opt_state, grad_count, key = operand
+            (params, target_params, opt_state, grad_count, key), metrics = (
+                jax.lax.scan(
+                    grad_step,
+                    (params, target_params, opt_state, grad_count, key),
+                    None,
+                    length=cfg.grad_steps,
+                )
+            )
+            return (params, target_params, opt_state, grad_count, key), jax.tree.map(
+                lambda x: x.mean(), metrics
+            )
+
+        def skip_updates(operand):
+            zero = {
+                "loss": jnp.zeros(()), "q_mean": jnp.zeros(()),
+                "td_abs": jnp.zeros(()),
+            }
+            return operand, zero
+
+        (params, target_params, opt_state, grad_count, key), metrics = (
+            jax.lax.cond(
+                warm,
+                do_updates,
+                skip_updates,
+                (state.params, state.target_params, state.opt_state,
+                 state.grad_count, key),
+            )
+        )
+
+        n_done = jnp.maximum(dones.sum(), 1)
+        metrics = dict(metrics)
+        metrics.update(
+            episode_return=ep_ret.sum() / n_done,
+            episodes_finished=dones.sum(),
+            epsilon=eps,
+            buffer_filled=replay.filled,
+        )
+        new_state = state.replace(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            env_state=env_state,
+            replay=replay,
+            key=key,
+            iter_count=state.iter_count + 1,
+            grad_count=grad_count,
+        )
+        return new_state, metrics
+
+    @functools.cached_property
+    def iteration_jit(self):
+        return jax.jit(self.iteration, donate_argnums=(0,))

@@ -1,0 +1,145 @@
+"""Policy/value networks for the on-device learners (SURVEY.md §7.1 PR4).
+
+Small CNN torso over the board + an embedding of the piece queue, with policy
+and value heads.  The reference has no learner (it is an environment; the
+learner is a BASELINE target capability, configs 4-5), so this architecture is
+free to be TPU-idiomatic:
+
+  * bfloat16 activations (MXU-native), float32 params and logits.
+  * Dense layers carry named partitioning metadata on a spare "tp" mesh axis
+    (Megatron column/row split) so oversized-model experiments can shard them
+    via ``blockpuzzle_tpu.dist`` rules (SURVEY.md §2.3 "Tensor parallelism");
+    at the default sizes they simply replicate.
+  * Illegal actions are masked to a large negative logit — masking lives in
+    the network so every consumer (PPO, DQN, eval) gets it fused.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from blockpuzzle_tpu.config import EnvConfig
+
+NEG_INF = -1e9
+
+
+class Torso(nn.Module):
+    """Shared representation: CNN over board ⊕ queue embedding."""
+
+    cfg: EnvConfig
+    num_pieces: int
+    channels: Tuple[int, ...] = (32, 64)
+    hidden: int = 256
+    embed_dim: int = 16
+
+    @nn.compact
+    def __call__(self, board: jax.Array, queue: jax.Array) -> jax.Array:
+        # board (..., H, W) uint8 -> (..., H, W, 1) bf16
+        x = board.astype(jnp.bfloat16)[..., None]
+        for ch in self.channels:
+            x = nn.Conv(
+                ch,
+                (3, 3),
+                padding="SAME",
+                dtype=jnp.bfloat16,
+                kernel_init=nn.initializers.he_normal(),
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape(*x.shape[:-3], -1)
+
+        # queue (..., S) int32 -> (..., S * embed_dim); empty sentinel gets
+        # its own embedding row (num_pieces + 1 rows total).
+        emb = nn.Embed(
+            self.num_pieces + 1, self.embed_dim, dtype=jnp.bfloat16
+        )(queue)
+        emb = emb.reshape(*emb.shape[:-2], -1)
+
+        x = jnp.concatenate([x, emb], axis=-1)
+        # column-parallel candidate: (in, hidden) partitioned (None, "tp")
+        x = nn.Dense(
+            self.hidden,
+            dtype=jnp.bfloat16,
+            kernel_init=nn.with_partitioning(
+                nn.initializers.he_normal(), (None, "tp")
+            ),
+        )(x)
+        return nn.relu(x)
+
+
+class ActorCritic(nn.Module):
+    """Masked-policy + value network (PPO / A2C / eval)."""
+
+    cfg: EnvConfig
+    num_pieces: int
+    channels: Tuple[int, ...] = (32, 64)
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(
+        self, board: jax.Array, queue: jax.Array, action_mask: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (masked_logits (..., A) f32, value (...,) f32)."""
+        h = Torso(self.cfg, self.num_pieces, self.channels, self.hidden)(
+            board, queue
+        )
+        # row-parallel candidate: (hidden, A) partitioned ("tp", None)
+        logits = nn.Dense(
+            self.cfg.num_actions(),
+            dtype=jnp.float32,
+            kernel_init=nn.with_partitioning(
+                nn.initializers.lecun_normal(), ("tp", None)
+            ),
+        )(h.astype(jnp.float32))
+        logits = jnp.where(action_mask, logits, NEG_INF)
+        value = nn.Dense(
+            1,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.lecun_normal(),
+        )(h.astype(jnp.float32))
+        return logits, value[..., 0]
+
+
+class QNetwork(nn.Module):
+    """Masked Q-network (DQN): illegal actions pinned to NEG_INF."""
+
+    cfg: EnvConfig
+    num_pieces: int
+    channels: Tuple[int, ...] = (32, 64)
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(
+        self, board: jax.Array, queue: jax.Array, action_mask: jax.Array
+    ) -> jax.Array:
+        h = Torso(self.cfg, self.num_pieces, self.channels, self.hidden)(
+            board, queue
+        )
+        q = nn.Dense(
+            self.cfg.num_actions(),
+            dtype=jnp.float32,
+            kernel_init=nn.with_partitioning(
+                nn.initializers.lecun_normal(), ("tp", None)
+            ),
+        )(h.astype(jnp.float32))
+        return jnp.where(action_mask, q, NEG_INF)
+
+
+def masked_categorical(key: jax.Array, logits: jax.Array) -> jax.Array:
+    """Sample actions from masked logits."""
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def log_prob(logits: jax.Array, action: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, action[..., None], axis=-1)[..., 0]
+
+
+def masked_entropy(logits: jax.Array) -> jax.Array:
+    """Entropy of the masked distribution; NEG_INF slots contribute 0."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)

@@ -1,0 +1,311 @@
+"""On-device PPO actor-learner (BASELINE config 4; SURVEY.md §3.4).
+
+The whole update — T-step rollout via ``lax.scan`` driving the batched env,
+GAE (reverse scan), and PPO minibatch epochs — is ONE jitted program.  The
+host dispatches once per update and reads back already-reduced scalar
+metrics.  Under a device mesh (``blockpuzzle_tpu.dist``) the env/batch axis
+is sharded over "dp" and XLA inserts the gradient all-reduce automatically;
+the env step itself needs zero collectives (envs are independent — SURVEY.md
+§5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from blockpuzzle_tpu.config import EnvConfig
+from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
+from blockpuzzle_tpu.learn import networks
+from blockpuzzle_tpu.learn.networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static PPO hyperparameters (hashable; baked into the jitted update)."""
+
+    num_envs: int = 4096
+    rollout_len: int = 64
+    gamma: float = 0.995
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    value_coef: float = 0.5
+    entropy_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    num_epochs: int = 2
+    num_minibatches: int = 4
+    anneal_updates: int = 0  # >0: linear LR decay to 0 over this many updates
+    hidden: int = 256
+    channels: Tuple[int, ...] = (32, 64)
+
+
+@struct.dataclass
+class Batch:
+    """One rollout's transitions, time-major (T, N, ...)."""
+
+    board: jax.Array
+    queue: jax.Array
+    action_mask: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    terminated: jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    """Everything PPO needs to run and resume bit-exactly (SURVEY.md §5).
+
+    The current observation is NOT stored: it is derived from ``env_state``
+    at rollout start (one extra mask matmul per update).  Storing it would
+    alias ``env_state.board`` (reshape view) and break ``donate_argnums``.
+    """
+
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    key: jax.Array
+    update_count: jax.Array
+
+
+class PPO:
+    """Factory for the jitted PPO update over a ``VecBlockPuzzle`` engine."""
+
+    def __init__(self, env: VecBlockPuzzle, cfg: Optional[PPOConfig] = None):
+        self.env = env
+        self.cfg = cfg or PPOConfig()
+        self.net = ActorCritic(
+            env.cfg,
+            env.num_pieces,
+            channels=self.cfg.channels,
+            hidden=self.cfg.hidden,
+        )
+        if self.cfg.anneal_updates > 0:
+            schedule = optax.linear_schedule(
+                self.cfg.lr, 0.0, self.cfg.anneal_updates
+            )
+        else:
+            schedule = self.cfg.lr
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.cfg.max_grad_norm),
+            optax.adam(schedule),
+        )
+
+    # ------------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> TrainState:
+        cfg = self.cfg
+        k_env, k_net, k_run = jax.random.split(key, 3)
+        env_state, ts = self.env.init(k_env, cfg.num_envs)
+        params = self.net.init(
+            k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
+        )
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            key=k_run,
+            update_count=jnp.zeros((), jnp.int32),
+        )
+
+    def observe(self, env_state: EnvState):
+        """(board3d, queue, action_mask) derived from the env state."""
+        cfg = self.env.cfg
+        n = env_state.board.shape[0]
+        board = env_state.board.reshape(n, cfg.height, cfg.width)
+        mask = self.env.action_mask(env_state.board, env_state.queue)
+        return board, env_state.queue, mask
+
+    # ------------------------------------------------------------------
+
+    def _rollout(
+        self, state: TrainState
+    ) -> Tuple[TrainState, Batch, jax.Array, Dict[str, jax.Array]]:
+        """T-step on-device rollout; returns batch + bootstrap value."""
+
+        params = state.params  # fixed during the rollout
+
+        def body(carry, _):
+            env_state, board, queue, mask, key = carry
+            key, k_act = jax.random.split(key)
+            logits, value = self.net.apply(params, board, queue, mask)
+            action = networks.masked_categorical(k_act, logits)
+            logp = networks.log_prob(logits, action)
+            env_state, ts = self.env.step(env_state, action)
+            transition = Batch(
+                board=board,
+                queue=queue,
+                action_mask=mask,
+                action=action,
+                log_prob=logp,
+                value=value,
+                reward=ts.reward,
+                done=ts.done,
+                terminated=ts.terminated,
+            )
+            ep_stats = (
+                ts.info["episode_return"] * ts.done,
+                ts.info["episode_length"] * ts.done,
+                ts.done,
+            )
+            return (
+                env_state,
+                ts.board,
+                ts.queue,
+                ts.action_mask,
+                key,
+            ), (transition, ep_stats)
+
+        board0, queue0, mask0 = self.observe(state.env_state)
+        (env_state, board, queue, mask, key), (batch, ep_stats) = jax.lax.scan(
+            body,
+            (state.env_state, board0, queue0, mask0, state.key),
+            None,
+            length=self.cfg.rollout_len,
+        )
+        _, last_value = self.net.apply(state.params, board, queue, mask)
+        new_state = state.replace(env_state=env_state, key=key)
+        ep_ret, ep_len, dones = ep_stats
+        n_done = jnp.maximum(dones.sum(), 1)
+        stats = {
+            "episode_return": ep_ret.sum() / n_done,
+            "episode_length": ep_len.sum() / n_done,
+            "episodes_finished": dones.sum(),
+        }
+        return new_state, batch, last_value, stats
+
+    # ------------------------------------------------------------------
+
+    def _gae(
+        self, batch: Batch, last_value: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Generalized advantage estimation over the time axis.
+
+        Terminated steps stop the bootstrap; truncated steps bootstrap
+        through their stored value (the standard partial-episode fix).
+        """
+        cfg = self.cfg
+
+        def body(carry, xs):
+            gae, next_value = carry
+            reward, value, done, terminated = xs
+            # value bootstrap: 0 where the episode truly ended
+            next_v = jnp.where(terminated, 0.0, next_value)
+            delta = reward + cfg.gamma * next_v - value
+            gae = delta + cfg.gamma * cfg.gae_lambda * jnp.where(
+                done, 0.0, gae
+            )
+            return (gae, value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            (batch.reward, batch.value, batch.done, batch.terminated),
+            reverse=True,
+        )
+        returns = advantages + batch.value
+        return advantages, returns
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, minibatch, advantages, returns):
+        cfg = self.cfg
+        logits, value = self.net.apply(
+            params, minibatch.board, minibatch.queue, minibatch.action_mask
+        )
+        logp = networks.log_prob(logits, minibatch.action)
+        ratio = jnp.exp(logp - minibatch.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        policy_loss = -jnp.minimum(pg1, pg2).mean()
+        value_loss = 0.5 * jnp.square(value - returns).mean()
+        entropy = networks.masked_entropy(logits).mean()
+        total = (
+            policy_loss
+            + cfg.value_coef * value_loss
+            - cfg.entropy_coef * entropy
+        )
+        metrics = {
+            "loss": total,
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy": entropy,
+            "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+        }
+        return total, metrics
+
+    # ------------------------------------------------------------------
+
+    def update(self, state: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """One full PPO update: rollout + GAE + epochs of minibatch SGD."""
+        cfg = self.cfg
+        state, batch, last_value, ep_stats = self._rollout(state)
+        advantages, returns = self._gae(batch, last_value)
+
+        # flatten (T, N) -> (T*N,)
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch_flat = jax.tree.map(flat, batch)
+        adv_flat = flat(advantages)
+        ret_flat = flat(returns)
+        total = cfg.rollout_len * cfg.num_envs
+        mb_size = total // cfg.num_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, total)
+
+            def minibatch_step(carry, idx):
+                params, opt_state = carry
+                take = lambda x: jnp.take(x, idx, axis=0)
+                mb = jax.tree.map(take, batch_flat)
+                grads, metrics = jax.grad(self._loss, has_aux=True)(
+                    params, mb, take(adv_flat), take(ret_flat)
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb_size * cfg.num_minibatches].reshape(
+                cfg.num_minibatches, mb_size
+            )
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state), idxs
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch,
+            (state.params, state.opt_state, state.key),
+            None,
+            length=cfg.num_epochs,
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        metrics.update(ep_stats)
+        metrics["reward_per_step"] = batch.reward.mean()
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            update_count=state.update_count + 1,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def update_jit(self):
+        return jax.jit(self.update, donate_argnums=(0,))

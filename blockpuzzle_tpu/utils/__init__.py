@@ -1,0 +1,13 @@
+"""Aux subsystems: checkpointing, metrics, profiling (SURVEY.md §5)."""
+
+from blockpuzzle_tpu.utils.checkpoint import CheckpointManager
+from blockpuzzle_tpu.utils.metrics import MetricsLogger, Throughput
+from blockpuzzle_tpu.utils.profiling import ScopeTimer, device_trace
+
+__all__ = [
+    "CheckpointManager",
+    "MetricsLogger",
+    "Throughput",
+    "ScopeTimer",
+    "device_trace",
+]

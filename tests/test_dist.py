@@ -1,0 +1,101 @@
+"""Sharding tests on the simulated 8-device CPU mesh (SURVEY.md §4.2).
+
+Validates that the (dp, tp) mesh, the partition rules, and the full sharded
+PPO update compile and execute with real multi-device shardings — the CI
+stand-in for a pod slice (BASELINE config 5).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from blockpuzzle_tpu import dist
+from blockpuzzle_tpu.config import default_config
+from blockpuzzle_tpu.env import make_env
+from blockpuzzle_tpu.learn import PPO, PPOConfig
+
+
+def test_make_mesh_shapes():
+    mesh = dist.make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("dp", "tp")
+    mesh2 = dist.make_mesh(tp=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_env_state_shards_on_dp():
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    state, ts = env.init(jax.random.key(0), 64)
+    sharded = dist.shard_batch_axis(mesh, state)
+    sh = sharded.board.sharding
+    assert isinstance(sh, NamedSharding)
+    assert sh.spec == P("dp")
+    # stepping sharded state keeps the env axis sharded and stays correct
+    step = jax.jit(lambda s, a: env.step(s, a))
+    state2, ts2 = step(sharded, jnp.zeros(64, jnp.int32))
+    assert np.asarray(ts2.reward).shape == (64,)
+
+
+def test_sharded_env_step_matches_unsharded():
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    state, ts = env.init(jax.random.key(1), 32)
+    actions = jnp.arange(32, dtype=jnp.int32) % env.num_actions
+    ref_state, ref_ts = jax.jit(env.step)(state, actions)
+    sharded = dist.shard_batch_axis(mesh, state)
+    out_state, out_ts = jax.jit(env.step)(sharded, actions)
+    np.testing.assert_array_equal(
+        np.asarray(ref_state.board), np.asarray(out_state.board)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_ts.reward), np.asarray(out_ts.reward)
+    )
+
+
+def test_param_rules_cover_actor_critic():
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4, hidden=32,
+                             channels=(8,), num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    leaves_state = jax.tree.leaves(state)
+    leaves_spec = jax.tree.leaves(
+        spec, is_leaf=lambda x: isinstance(x, P)
+    )
+    assert len(leaves_state) == len(leaves_spec)
+    # env board sharded on dp
+    assert spec.env_state.board == P("dp")
+    assert spec.update_count == P()
+
+
+def test_sharded_ppo_update_runs_on_mesh():
+    """Full PPO update jitted with dp-sharded batch on the 8-device mesh."""
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=16, rollout_len=4, hidden=32,
+                             channels=(8,), num_epochs=1, num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    shardings = dist.to_named(mesh, spec)
+    state = jax.device_put(state, shardings)
+    update = jax.jit(ppo.update, donate_argnums=(0,))
+    state2, metrics = update(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.update_count) == 1
+    # params stayed replicated, env state stayed dp-sharded
+    assert state2.env_state.board.sharding.spec == P("dp")
+
+
+def test_tp2_mesh_shards_dense_kernel():
+    mesh = dist.make_mesh(tp=2)
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4, hidden=64,
+                             channels=(8,), num_epochs=1, num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    shardings = dist.to_named(mesh, spec)
+    state = jax.device_put(state, shardings)
+    state2, metrics = jax.jit(ppo.update, donate_argnums=(0,))(state)
+    assert np.isfinite(float(metrics["loss"]))
