@@ -58,9 +58,13 @@ def bench_device() -> float:
     import jax.numpy as jnp
 
     from blockpuzzle_tpu.env import make_env
+    from blockpuzzle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     env = make_env()
     state, ts = env.init_jit(jax.random.key(0), NUM_ENVS)
+    policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(state, mask, key):
@@ -78,7 +82,7 @@ def bench_device() -> float:
         )
         return state, mask, key, r.sum()
 
-    out = chunk(state, ts.action_mask, jax.random.key(1))  # compile + warmup
+    out = chunk(state, ts.action_mask, policy_key)  # compile + warmup
     jax.block_until_ready(out)
     state, mask, key, _ = out
     t0 = time.time()

@@ -116,6 +116,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-steps", type=int, default=512)
     args = p.parse_args(argv)
 
+    from blockpuzzle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = PRESETS[args.preset]()
     env = make_env(cfg)
     failed = False

@@ -54,7 +54,9 @@ def run_batched(args) -> int:
     import jax.numpy as jnp
 
     from blockpuzzle_tpu.env import make_env
-    from blockpuzzle_tpu.utils import Throughput
+    from blockpuzzle_tpu.utils import Throughput, enable_compilation_cache
+
+    enable_compilation_cache()
 
     env = make_env(PRESETS[args.preset]())
     state, ts = env.init(jax.random.key(args.seed), args.num_envs)

@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from blockpuzzle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.distributed:
         dist.init_distributed()
 

@@ -48,11 +48,24 @@ class VecBlockPuzzle:
     Instances are hashable by identity, so bound methods can be jitted.
     """
 
-    def __init__(self, cfg: EnvConfig, backend: str = "jnp") -> None:
+    def __init__(
+        self,
+        cfg: EnvConfig,
+        backend: str = "jnp",
+        rng_impl: str = "rbg",
+    ) -> None:
+        """Args:
+          cfg: static game configuration.
+          backend: "jnp" (default; XLA-fused) or "pallas" (hand kernels).
+          rng_impl: PRNG implementation for piece dealing on the fast path
+            ("rbg" is ~25% faster end-to-end on v5e than "threefry2x32";
+            parity mode injects the oracle's deals and never touches this).
+        """
         if backend not in ("jnp", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         self.cfg = cfg
         self.backend = backend
+        self.rng_impl = rng_impl
         t = rules.tables_for(cfg)
         self.tables = t
         self.num_pieces = t.num_pieces
@@ -60,16 +73,51 @@ class VecBlockPuzzle:
         self.num_actions = cfg.num_actions()
 
         # Constant device tables (become jit-time constants via closure).
+        #
+        # GATHER-FREE HOT PATH: profiling on the v5e showed the step time
+        # dominated not by the MXU matmul (46us) but by row gathers
+        # (jnp.take / take_along_axis run on the scalar core: ~100-130us
+        # EACH at N=16K) and a (N,P,HW) relayout copy.  Every per-env table
+        # lookup is therefore expressed as a one-hot matmul, a static slice
+        # loop, or arithmetic on broadcasted indices:
+        #   * piece attrs (h, w, cells, rect decomposition) <- one-hot @ attrs
+        #   * footprint of the chosen action <- union of <=2 rectangles
+        #     materialized from row/col index compares (rules.decompose_rects)
+        #   * per-hand action mask <- static P-slice select over the counts
+        #     matmul output (bf16 end to end, no f32 round trip)
+        #   * empty-board mask (auto-reset) <- one-hot @ valid-anchor table
         self._cover_u8 = jnp.asarray(t.cover, dtype=jnp.uint8)           # (P*HW, HW)
         self._cover_t_bf16 = jnp.asarray(t.cover.T, dtype=jnp.bfloat16)  # (HW, P*HW)
         self._valid = jnp.asarray(t.valid)                               # (P*HW,)
         self._piece_cells = jnp.asarray(t.piece_cells, dtype=jnp.int32)  # (P,)
-        # Legal anchors on an EMPTY board, per piece: exactly the in-bounds
-        # mask. Used to produce the action mask of freshly auto-reset envs
-        # without a second matmul.
+        # attrs rows: [h, w, cells, dr1, dc1, h1, w1, dr2, dc2, h2, w2]
+        attrs = np.concatenate(
+            [
+                t.piece_h[:, None],
+                t.piece_w[:, None],
+                t.piece_cells[:, None],
+                t.piece_rects,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        self._attrs = jnp.asarray(attrs, dtype=jnp.bfloat16)             # (P, 11)
+        # counts adjustment: +1024 on out-of-bounds anchors so the fused
+        # "counts_adj == 0" test encodes legality AND validity (1024 and
+        # all counts <= 9 are exact in bf16)
+        self._counts_adj = jnp.asarray(
+            np.where(t.valid, 0.0, 1024.0)[None, :], dtype=jnp.bfloat16
+        )                                                                # (1, P*HW)
+        # Legal anchors on an EMPTY board, per piece (bf16 for the one-hot
+        # matmul selection used by auto-reset / init).
         self._empty_legal = jnp.asarray(
             t.valid.reshape(t.num_pieces, cfg.num_cells)
         )                                                                # (P, HW)
+        self._empty_legal_bf16 = self._empty_legal.astype(jnp.bfloat16)
+        # flat cell index -> (row, col), as (1, HW) constants
+        cells = np.arange(cfg.num_cells, dtype=np.int32)
+        self._row_idx = jnp.asarray((cells // cfg.width)[None, :])       # (1, HW)
+        self._col_idx = jnp.asarray((cells % cfg.width)[None, :])        # (1, HW)
+        self._piece_iota = jnp.arange(t.num_pieces, dtype=jnp.int32)     # (P,)
         if cfg.region_clear:
             self._region_masks = jnp.asarray(t.region_masks, dtype=jnp.uint8)
             self._region_sizes = jnp.asarray(
@@ -77,6 +125,20 @@ class VecBlockPuzzle:
             )
         else:
             self._region_masks = None
+
+        if backend == "pallas":
+            # deferred import: kernels pull in pallas machinery
+            from blockpuzzle_tpu.kernels import (
+                ApplyKernel,
+                ClearScanKernel,
+                LegalityKernel,
+            )
+
+            # compiled Mosaic kernels on TPU; interpreter elsewhere (CI)
+            self._interpret = jax.default_backend() != "tpu"
+            self._k_clear = ClearScanKernel(cfg)
+            self._k_legal = LegalityKernel(cfg)
+            self._k_apply = ApplyKernel(cfg)
 
     # ------------------------------------------------------------------
     # RNG: counter-based deals
@@ -106,6 +168,8 @@ class VecBlockPuzzle:
 
         One bf16 matmul: counts of occupied cells under each footprint.
         """
+        if self.backend == "pallas":
+            return self._k_legal(board, interpret=self._interpret)
         counts = jnp.dot(
             board.astype(jnp.bfloat16),
             self._cover_t_bf16,
@@ -115,10 +179,44 @@ class VecBlockPuzzle:
         n = board.shape[0]
         return legal.reshape(n, self.num_pieces, self.cfg.num_cells)
 
+    def _piece_onehot(self, pid: jax.Array) -> jax.Array:
+        """(N, P) bf16 one-hot of piece ids (all-zero for the empty sentinel)."""
+        return (pid[:, None] == self._piece_iota[None, :]).astype(jnp.bfloat16)
+
     def action_mask(self, board: jax.Array, queue: jax.Array) -> jax.Array:
-        """(N, S*HW) bool legal-action mask for the current hand."""
-        legal_all = self.legal_all_pieces(board)
-        return self._mask_from_legal_all(legal_all, queue)
+        """(N, S*HW) bool legal-action mask for the current hand.
+
+        One bf16 matmul (counts of occupied cells under every footprint,
+        out-of-bounds anchors pre-biased by +1024) followed by a gather-free
+        static-slice one-hot selection of each hand slot's piece row.
+        """
+        if self.backend == "pallas":
+            legal_all = self._k_legal(board, interpret=self._interpret)
+            return self._mask_from_legal_all(legal_all, queue)
+        counts_adj = (
+            jnp.dot(
+                board.astype(jnp.bfloat16),
+                self._cover_t_bf16,
+                preferred_element_type=jnp.bfloat16,
+            )
+            + self._counts_adj
+        )  # (N, P*HW) bf16; == 0 iff legal AND in bounds
+        return self._mask_from_counts(counts_adj, queue)
+
+    def _mask_from_counts(
+        self, counts_adj: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        hw = self.cfg.num_cells
+        masks = []
+        for s in range(self.cfg.queue_size):
+            pid_s = queue[:, s]
+            oh = self._piece_onehot(pid_s)                            # (N, P)
+            acc = jnp.zeros_like(counts_adj[:, :hw])
+            for p in range(self.num_pieces):
+                acc = acc + counts_adj[:, p * hw : (p + 1) * hw] * oh[:, p : p + 1]
+            m = jnp.logical_and(acc == 0, (pid_s < self.num_pieces)[:, None])
+            masks.append(m)
+        return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
 
     def _mask_from_legal_all(
         self, legal_all: jax.Array, queue: jax.Array
@@ -130,12 +228,19 @@ class VecBlockPuzzle:
         return per_slot.reshape(n, self.num_actions)
 
     def _empty_board_mask(self, queue: jax.Array) -> jax.Array:
-        """Action mask for a fresh (empty) board — precomputed, no matmul."""
-        n = queue.shape[0]
-        pid = jnp.minimum(queue, self.num_pieces - 1)
-        per_slot = jnp.take(self._empty_legal, pid, axis=0)           # (N, S, HW)
-        per_slot = jnp.logical_and(per_slot, (queue < self.num_pieces)[:, :, None])
-        return per_slot.reshape(n, self.num_actions)
+        """Action mask for a fresh (empty) board: one-hot @ in-bounds table
+        (a tiny MXU matmul; no gather)."""
+        masks = []
+        for s in range(self.cfg.queue_size):
+            pid_s = queue[:, s]
+            oh = self._piece_onehot(pid_s)
+            acc = jnp.dot(
+                oh, self._empty_legal_bf16, preferred_element_type=jnp.bfloat16
+            )  # (N, HW)
+            masks.append(
+                jnp.logical_and(acc > 0.5, (pid_s < self.num_pieces)[:, None])
+            )
+        return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
 
     # ------------------------------------------------------------------
     # Clear scan
@@ -152,6 +257,8 @@ class VecBlockPuzzle:
         semantics, SURVEY.md §2.1 "Line/region clear").
         """
         cfg = self.cfg
+        if self.backend == "pallas":
+            return self._k_clear(board, interpret=self._interpret)
         n = board.shape[0]
         b = board.reshape(n, cfg.height, cfg.width)
         rows_full = jnp.all(b == 1, axis=2)                           # (N, H)
@@ -195,6 +302,10 @@ class VecBlockPuzzle:
             the oracle's reset deals).
         """
         cfg = self.cfg
+        # re-root the key under the configured PRNG impl (deterministic in
+        # the caller's key; works under jit)
+        seed = jax.random.bits(key, (), dtype=jnp.uint32)
+        key = jax.random.key(seed, impl=self.rng_impl)
         base_key = jax.random.split(key, num_envs)
         counter = jnp.zeros(num_envs, dtype=jnp.int32)
         if deal_override is None:
@@ -283,32 +394,65 @@ class VecBlockPuzzle:
         hw = cfg.num_cells
         action = action.astype(jnp.int32)
 
-        # -- decode + chosen-action legality (cheap gathered-row check) --
+        # -- decode + arithmetic footprint (gather-free) ------------------
         slot = action // hw                                           # (N,)
         cell = action % hw
-        pid = jnp.take_along_axis(state.queue, slot[:, None], axis=1)[:, 0]
+        slot_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, cfg.queue_size), 1)
+            == slot[:, None]
+        )
+        if cfg.queue_size == 1:
+            pid = state.queue[:, 0]
+        else:
+            pid = jnp.sum(
+                jnp.where(slot_onehot, state.queue, 0), axis=1
+            )
         slot_filled = pid < self.num_pieces
-        pid_c = jnp.minimum(pid, self.num_pieces - 1)
-        g = pid_c * hw + cell                                         # global action id
-        cover_row = jnp.take(self._cover_u8, g, axis=0)               # (N, HW)
-        overlap = jnp.sum(
-            (state.board & cover_row).astype(jnp.int32), axis=1
-        )
-        legal = jnp.logical_and(
+        r = cell // cfg.width
+        c = cell % cfg.width
+        # piece attributes via one-hot matmul: (N,P) @ (P,11) on the MXU
+        oh = self._piece_onehot(pid)
+        attrs = jnp.dot(
+            oh, self._attrs, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)                                           # (N, 11)
+        ph, pw, cells_placed = attrs[:, 0], attrs[:, 1], attrs[:, 2]
+        valid_a = jnp.logical_and(
             slot_filled,
-            jnp.logical_and(jnp.take(self._valid, g), overlap == 0),
+            jnp.logical_and(r + ph <= cfg.height, c + pw <= cfg.width),
         )
+        # footprint = union of <=2 rectangles, from broadcast index compares
+        def in_rect(j):
+            dr, dc = attrs[:, 3 + 4 * j, None], attrs[:, 4 + 4 * j, None]
+            rh, rw = attrs[:, 5 + 4 * j, None], attrs[:, 6 + 4 * j, None]
+            r0 = r[:, None] + dr
+            c0 = c[:, None] + dc
+            return (
+                (self._row_idx >= r0)
+                & (self._row_idx < r0 + rh)
+                & (self._col_idx >= c0)
+                & (self._col_idx < c0 + rw)
+            )
 
-        # -- masked place + clear ----------------------------------------
-        placed = jnp.where(
-            legal[:, None], state.board | cover_row, state.board
-        )
-        cleared, k = self.clear_scan(placed)
-        k = jnp.where(legal, k, 0)
-        board_next = jnp.where(legal[:, None], cleared, state.board)
+        cover_row = jnp.logical_or(in_rect(0), in_rect(1)).astype(jnp.uint8)
+
+        # -- collision check + masked place + clear ----------------------
+        if self.backend == "pallas":
+            board_next, k, legal = self._k_apply(
+                state.board, cover_row, valid_a, interpret=self._interpret
+            )
+        else:
+            overlap = jnp.sum(
+                (state.board & cover_row).astype(jnp.int32), axis=1
+            )
+            legal = jnp.logical_and(valid_a, overlap == 0)
+            placed = jnp.where(
+                legal[:, None], state.board | cover_row, state.board
+            )
+            cleared, k = self.clear_scan(placed)
+            k = jnp.where(legal, k, 0)
+            board_next = jnp.where(legal[:, None], cleared, state.board)
 
         # -- reward -------------------------------------------------------
-        cells_placed = jnp.take(self._piece_cells, pid_c)
         kf = k.astype(jnp.float32)
         bonus = cfg.line_base * kf * (kf + 1.0) * 0.5
         reward = jnp.where(
@@ -318,10 +462,6 @@ class VecBlockPuzzle:
         )
 
         # -- queue consume + refill --------------------------------------
-        slot_onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (n, cfg.queue_size), 1)
-            == slot[:, None]
-        )
         consumed = jnp.logical_and(slot_onehot, legal[:, None])
         queue2 = jnp.where(consumed, self.empty_id, state.queue)
 
@@ -336,9 +476,17 @@ class VecBlockPuzzle:
         else:
             deals = jnp.asarray(deal_override, dtype=jnp.int32)
         # Deal-stream position of each refilled slot (ascending slot order —
-        # matches the oracle's draw order, the parity contract).
-        pos = jnp.cumsum(refill_slots.astype(jnp.int32), axis=1) - 1
-        deal_vals = jnp.take_along_axis(deals, jnp.maximum(pos, 0), axis=1)
+        # matches the oracle's draw order, the parity contract).  Selection
+        # is a static S-loop (S <= 3), not a gather.
+        if cfg.queue_size == 1:
+            deal_vals = deals
+        else:
+            pos = jnp.cumsum(refill_slots.astype(jnp.int32), axis=1) - 1
+            deal_vals = jnp.zeros_like(deals)
+            for j in range(cfg.queue_size):
+                deal_vals = deal_vals + jnp.where(
+                    pos == j, deals[:, j : j + 1], 0
+                )
         queue3 = jnp.where(refill_slots, deal_vals, queue2)
 
         # -- mask + termination ------------------------------------------
@@ -422,8 +570,12 @@ class VecBlockPuzzle:
         return jax.jit(self.reset, donate_argnums=(0,))
 
 
-def make_env(cfg: Optional[EnvConfig] = None, backend: str = "jnp") -> VecBlockPuzzle:
+def make_env(
+    cfg: Optional[EnvConfig] = None,
+    backend: str = "jnp",
+    rng_impl: str = "rbg",
+) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:
         cfg = EnvConfig()
-    return VecBlockPuzzle(cfg, backend=backend)
+    return VecBlockPuzzle(cfg, backend=backend, rng_impl=rng_impl)

@@ -74,6 +74,49 @@ PIECE_SETS: Dict[str, List[List[List[int]]]] = {
 }
 
 
+def decompose_rects(grid: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """Decompose a piece grid into ≤2 rectangles whose union is the piece.
+
+    TPU-first trick: a footprint that is a union of two rectangles can be
+    materialized arithmetically from broadcasted row/col indices — no table
+    gather (gathers run on the TPU scalar core and dominated the profiled
+    step time).  Every piece in the classic 1010! set is 1 rect (bars,
+    squares) or 2 rects (small/big L).  Returns [(dr, dc, h, w), ...].
+    Raises ValueError if no ≤2-rect decomposition exists.
+    """
+    h, w = grid.shape
+    cells = grid.astype(bool)
+    rects = [
+        (r, c, rh, rw)
+        for r in range(h)
+        for c in range(w)
+        for rh in range(1, h - r + 1)
+        for rw in range(1, w - c + 1)
+    ]
+
+    def cover_of(rect):
+        r, c, rh, rw = rect
+        m = np.zeros_like(cells)
+        m[r : r + rh, c : c + rw] = True
+        return m
+
+    for r1 in rects:
+        m1 = cover_of(r1)
+        if (m1 == cells).all():
+            return [r1]
+    for i, r1 in enumerate(rects):
+        m1 = cover_of(r1)
+        if (m1 & ~cells).any():
+            continue
+        for r2 in rects[i + 1 :]:
+            m2 = cover_of(r2)
+            if (m2 & ~cells).any():
+                continue
+            if ((m1 | m2) == cells).all():
+                return [r1, r2]
+    raise ValueError("piece is not a union of ≤2 rectangles")
+
+
 @dataclasses.dataclass(frozen=True)
 class RuleTables:
     """Precomputed NumPy tables for one ``EnvConfig``.
@@ -88,6 +131,8 @@ class RuleTables:
         placing piece ``g // (H*W)`` with top-left anchor at flat cell
         ``g % (H*W)``; all-zero for out-of-bounds anchors.
       valid: (P * H * W,) bool — in-bounds anchor mask.
+      piece_rects: (P, 8) int32 — ≤2-rectangle decomposition per piece:
+        (dr1, dc1, h1, w1, dr2, dc2, h2, w2); absent rect2 has h2 = w2 = 0.
       row_masks / col_masks / region_masks: (L, H*W) uint8 membership masks
         of each clearable line/region, used by the clear scan.
     """
@@ -101,6 +146,7 @@ class RuleTables:
     piece_cells: np.ndarray
     cover: np.ndarray
     valid: np.ndarray
+    piece_rects: np.ndarray
     row_masks: np.ndarray
     col_masks: np.ndarray
     region_masks: np.ndarray
@@ -131,6 +177,12 @@ def build_tables(cfg: EnvConfig) -> RuleTables:
         pieces[p, : g.shape[0], : g.shape[1]] = g
         piece_h[p], piece_w[p] = g.shape
     piece_cells = pieces.reshape(num_pieces, -1).sum(axis=1).astype(np.int32)
+
+    piece_rects = np.zeros((num_pieces, 8), dtype=np.int32)
+    for p, g in enumerate(grids):
+        rects = decompose_rects(g)
+        for j, (dr, dc, rh, rw) in enumerate(rects):
+            piece_rects[p, 4 * j : 4 * j + 4] = (dr, dc, rh, rw)
 
     cover = np.zeros((num_pieces * ncells, ncells), dtype=np.uint8)
     valid = np.zeros(num_pieces * ncells, dtype=bool)
@@ -179,6 +231,7 @@ def build_tables(cfg: EnvConfig) -> RuleTables:
         piece_cells=piece_cells,
         cover=cover,
         valid=valid,
+        piece_rects=piece_rects,
         row_masks=row_masks,
         col_masks=col_masks,
         region_masks=region_masks,

@@ -1,6 +1,7 @@
 """Aux subsystems: checkpointing, metrics, profiling (SURVEY.md §5)."""
 
 from blockpuzzle_tpu.utils.checkpoint import CheckpointManager
+from blockpuzzle_tpu.utils.compile_cache import enable_compilation_cache
 from blockpuzzle_tpu.utils.metrics import MetricsLogger, Throughput
 from blockpuzzle_tpu.utils.profiling import ScopeTimer, device_trace
 
@@ -10,4 +11,5 @@ __all__ = [
     "Throughput",
     "ScopeTimer",
     "device_trace",
+    "enable_compilation_cache",
 ]

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+Compiles on the axon tunnel platform are remote and slow (30-500 s for large
+programs); the persistent cache makes every program a one-time cost across
+processes.  Called by all CLIs, bench.py, and the driver entry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/blockpuzzle_tpu/xla_cache")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything, including small programs (default threshold skips
+    # sub-second compiles, but on this platform even tiny programs are slow)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
