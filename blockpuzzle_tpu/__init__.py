@@ -40,6 +40,7 @@ def register_gym_envs() -> None:
         gymnasium.register(
             id=f"BlockPuzzleTpu/BlockPuzzle{suffix}-v0",
             entry_point="blockpuzzle_tpu.oracle.env:BlockPuzzleOracleEnv",
+            vector_entry_point="blockpuzzle_tpu.vector_env:BlockPuzzleVectorEnv",
             kwargs={"cfg": preset()},
         )
     _REGISTERED = True

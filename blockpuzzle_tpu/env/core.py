@@ -526,6 +526,10 @@ class VecBlockPuzzle:
             )
             steps_out = jnp.where(done, 0, steps_next)
             score_out = jnp.where(done, 0.0, score_next)
+            # pre-reset ("final") observation for Gym-adapter consumers;
+            # identical to the live obs for non-done envs
+            info["final_board"] = board_next.reshape(n, cfg.height, cfg.width)
+            info["final_queue"] = queue3
         else:
             board_out, queue_out, mask_out = board_next, queue3, mask
             steps_out, score_out = steps_next, score_next
@@ -578,4 +582,9 @@ def make_env(
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:
         cfg = EnvConfig()
+    # First compiles on the axon platform are remote and slow; make them a
+    # one-time cost for every engine consumer (docs/ARCHITECTURE.md).
+    from blockpuzzle_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return VecBlockPuzzle(cfg, backend=backend, rng_impl=rng_impl)

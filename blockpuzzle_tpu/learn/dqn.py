@@ -90,7 +90,7 @@ class DQN:
     def init(self, key: jax.Array) -> DQNState:
         cfg, env_cfg = self.cfg, self.env.cfg
         k_env, k_net, k_run = jax.random.split(key, 3)
-        env_state, ts = self.env.init(k_env, cfg.num_envs)
+        env_state, ts = self.env.init_jit(k_env, cfg.num_envs)
         params = self.net.init(
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )

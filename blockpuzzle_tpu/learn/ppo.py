@@ -105,7 +105,9 @@ class PPO:
     def init(self, key: jax.Array) -> TrainState:
         cfg = self.cfg
         k_env, k_net, k_run = jax.random.split(key, 3)
-        env_state, ts = self.env.init(k_env, cfg.num_envs)
+        # jitted env init: eager init is minutes of tiny remote compiles on
+        # the tunnel platform (see vector_env.reset note)
+        env_state, ts = self.env.init_jit(k_env, cfg.num_envs)
         params = self.net.init(
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )

@@ -1,0 +1,150 @@
+"""Gymnasium VectorEnv adapter over the batched TPU engine.
+
+A user of the reference env who wants vectorization gets Gym's generic
+``VectorEnv`` wrappers (per-env Python loops — SURVEY.md §2.3 "vectorization
+is the caller's problem").  This adapter is the TPU-native replacement: a
+``gymnasium.vector.VectorEnv`` whose whole batch steps as ONE jitted XLA
+program on device, with NumPy in/out at the host boundary.
+
+Auto-reset is same-step (the returned observation for a finished env is the
+reset observation — the convention of JAX env suites); the pre-reset
+observation is exposed as ``infos["final_board"]`` / ``infos["final_queue"]``
+with the standard gymnasium ``_final_board`` presence mask.
+
+Registered so that ``gymnasium.make_vec("BlockPuzzleTpu/BlockPuzzle-v0",
+num_envs=N)`` returns this class.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import gymnasium
+from gymnasium import spaces
+from gymnasium.vector import VectorEnv
+from gymnasium.vector.utils import batch_space
+
+import jax
+import jax.numpy as jnp
+
+from blockpuzzle_tpu.config import EnvConfig, default_config
+from blockpuzzle_tpu.env import make_env
+
+
+class BlockPuzzleVectorEnv(VectorEnv):
+    """N lockstep BlockPuzzle envs on one XLA device program."""
+
+    metadata = {
+        "render_modes": ["rgb_array"],
+        "autoreset_mode": gymnasium.vector.AutoresetMode.SAME_STEP,
+    }
+
+    def __init__(
+        self,
+        num_envs: int = 1024,
+        cfg: Optional[EnvConfig] = None,
+        backend: str = "jnp",
+        render_mode: Optional[str] = None,
+        **overrides: Any,
+    ) -> None:
+        if cfg is None:
+            cfg = default_config()
+        if overrides:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, **overrides)
+        self.cfg = cfg
+        self.engine = make_env(cfg, backend=backend)
+        self.num_envs = num_envs
+        self.render_mode = render_mode
+
+        h, w, s = cfg.height, cfg.width, cfg.queue_size
+        self.single_observation_space = spaces.Dict(
+            {
+                "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
+                "queue": spaces.Box(
+                    0, self.engine.num_pieces, shape=(s,), dtype=np.int32
+                ),
+            }
+        )
+        self.single_action_space = spaces.Discrete(cfg.num_actions())
+        self.observation_space = batch_space(
+            self.single_observation_space, num_envs
+        )
+        self.action_space = batch_space(self.single_action_space, num_envs)
+
+        self._state = None
+        self._last_ts = None
+        # plain jit (no donation): callers may hold references across steps
+        self._step_fn = jax.jit(lambda st, a: self.engine.step(st, a))
+
+    # ------------------------------------------------------------------
+
+    def _obs(self, ts) -> Dict[str, np.ndarray]:
+        return {
+            "board": np.asarray(ts.board),
+            "queue": np.asarray(ts.queue),
+        }
+
+    def reset(
+        self, *, seed: Optional[int] = None, options: Optional[dict] = None
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+        key = jax.random.key(0 if seed is None else seed)
+        # jitted init: eager init dispatches hundreds of tiny remote
+        # compiles on the tunnel platform (minutes instead of seconds)
+        self._state, ts = self.engine.init_jit(key, self.num_envs)
+        self._last_ts = ts
+        infos = {"action_mask": np.asarray(ts.action_mask)}
+        return self._obs(ts), infos
+
+    def step(self, actions) -> Tuple[
+        Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
+    ]:
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        actions = jnp.asarray(np.asarray(actions), dtype=jnp.int32)
+        self._state, ts = self._step_fn(self._state, actions)
+        self._last_ts = ts
+        terminated = np.asarray(ts.terminated)
+        truncated = np.asarray(ts.truncated)
+        done = terminated | truncated
+        infos: Dict[str, Any] = {
+            "action_mask": np.asarray(ts.action_mask),
+            "lines_cleared": np.asarray(ts.info["lines_cleared"]),
+            "episode_return": np.asarray(ts.info["episode_return"]),
+        }
+        if done.any():
+            infos["final_board"] = np.asarray(ts.info["final_board"])
+            infos["final_queue"] = np.asarray(ts.info["final_queue"])
+            infos["_final_board"] = done
+            infos["_final_queue"] = done
+        return (
+            self._obs(ts),
+            np.asarray(ts.reward),
+            terminated,
+            truncated,
+            infos,
+        )
+
+    def render(self):
+        if self.render_mode != "rgb_array" or self._last_ts is None:
+            return None
+        # tile the first <=16 boards into a grid image
+        boards = np.asarray(self._last_ts.board[:16])
+        n = boards.shape[0]
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        h, w = self.cfg.height, self.cfg.width
+        canvas = np.zeros((rows * (h + 1), cols * (w + 1), 3), dtype=np.uint8)
+        for i in range(n):
+            r, c = divmod(i, cols)
+            img = np.zeros((h, w, 3), np.uint8)
+            img[boards[i] == 0] = (24, 24, 32)
+            img[boards[i] == 1] = (90, 170, 255)
+            canvas[r * (h + 1) : r * (h + 1) + h, c * (w + 1) : c * (w + 1) + w] = img
+        return np.kron(canvas, np.ones((8, 8, 1), dtype=np.uint8))
+
+    def close_extras(self, **kwargs):
+        self._state = None

@@ -1,0 +1,145 @@
+"""Aux subsystem tests: checkpoint/resume bit-exactness, metrics, profiling
+(SURVEY.md §5: resume must be bit-exact — counter-based RNG makes the piece
+stream a pure function of saved keys + counters)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blockpuzzle_tpu.config import default_config
+from blockpuzzle_tpu.env import make_env
+from blockpuzzle_tpu.learn import PPO, PPOConfig
+from blockpuzzle_tpu.utils import (
+    CheckpointManager,
+    MetricsLogger,
+    ScopeTimer,
+    Throughput,
+)
+
+
+def small_ppo():
+    env = make_env(default_config())
+    return PPO(env, PPOConfig(
+        num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
+        hidden=16, channels=(4,),
+    ))
+
+
+def test_checkpoint_roundtrip_env_state(tmp_path):
+    env = make_env(default_config())
+    state, ts = env.init(jax.random.key(0), 8)
+    state, _ = env.step(state, jnp.zeros(8, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(1, state)
+    restored = mgr.restore(state)
+    for name in ("board", "queue", "rng_counter", "steps", "score"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state, name)),
+            np.asarray(getattr(restored, name)),
+            name,
+        )
+    # typed PRNG keys survive the round trip
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.base_key)),
+        np.asarray(jax.random.key_data(restored.base_key)),
+    )
+    mgr.close()
+
+
+def test_checkpoint_resume_is_bit_exact(tmp_path):
+    """Continue-from-checkpoint replays the exact same trajectory as an
+    uninterrupted run (the SURVEY §5 fault-recovery contract)."""
+    env = make_env(default_config())
+    state, ts = env.init(jax.random.key(7), 16)
+    actions = jnp.zeros(16, jnp.int32)
+    for _ in range(3):
+        state, ts = env.step(state, actions)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state)
+
+    # uninterrupted continuation
+    cont_state, cont_ts = env.step(state, actions)
+    # simulated crash + restore
+    restored = mgr.restore(state)
+    res_state, res_ts = env.step(restored, actions)
+    np.testing.assert_array_equal(
+        np.asarray(cont_state.board), np.asarray(res_state.board)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cont_state.queue), np.asarray(res_state.queue)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cont_ts.reward), np.asarray(res_ts.reward)
+    )
+    mgr.close()
+
+
+def test_checkpoint_ppo_train_state(tmp_path):
+    ppo = small_ppo()
+    state = ppo.init(jax.random.key(0))
+    state, _ = ppo.update_jit(state)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    restored = mgr.restore(state)
+    leaves_a = jax.tree.leaves(
+        jax.tree.map(
+            lambda x: x
+            if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+            else jax.random.key_data(x),
+            (state.params, state.opt_state, state.update_count),
+        )
+    )
+    leaves_b = jax.tree.leaves(
+        jax.tree.map(
+            lambda x: x
+            if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+            else jax.random.key_data(x),
+            (restored.params, restored.opt_state, restored.update_count),
+        )
+    )
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state continues training
+    state2, metrics = ppo.update_jit(restored)
+    assert np.isfinite(float(metrics["loss"]))
+    mgr.close()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    logger = MetricsLogger(str(tmp_path), run_name="t")
+    host = logger.log(1, {"loss": jnp.float32(1.5), "return": jnp.float32(3.0)})
+    logger.log(2, {"loss": jnp.float32(1.0), "return": jnp.float32(4.0)})
+    logger.close()
+    assert host["loss"] == 1.5
+    lines = open(tmp_path / "t.jsonl").read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["step"] == 2 and rec["loss"] == 1.0
+    assert "wall_time" in rec
+
+
+def test_throughput_meter_skips_compile_tick():
+    m = Throughput()
+    assert m.tick(1000) == 0.0  # first tick = compile, not counted
+    import time
+
+    time.sleep(0.01)
+    v = m.tick(1000)
+    assert v > 0
+
+
+def test_scope_timer():
+    t = ScopeTimer()
+    with t.scope("a"):
+        pass
+    with t.scope("a"):
+        pass
+    with t.scope("b"):
+        pass
+    s = t.summary()
+    assert set(s) == {"a", "b"}
