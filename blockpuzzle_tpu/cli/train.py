@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--rollout-len", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=2, help="PPO epochs/update")
+    p.add_argument("--minibatches", type=int, default=4)
+    p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--gamma", type=float, default=0.995)
+    p.add_argument("--anneal", type=int, default=0,
+                   help="linear-decay LR to 0 over this many updates")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=10)
@@ -63,6 +69,9 @@ def main(argv=None) -> int:
     if args.algo == "ppo":
         learner = PPO(env, PPOConfig(
             num_envs=args.num_envs, rollout_len=args.rollout_len, lr=args.lr,
+            num_epochs=args.epochs, num_minibatches=args.minibatches,
+            entropy_coef=args.entropy_coef, gamma=args.gamma,
+            anneal_updates=args.anneal,
         ))
         step_fn = learner.update_jit
         steps_per_call = args.num_envs * args.rollout_len
@@ -109,7 +118,8 @@ def main(argv=None) -> int:
         if ckpt and (update + 1) % args.checkpoint_every == 0:
             ckpt.save(update + 1, state)
     if ckpt:
-        ckpt.save(args.updates, state, force=True)
+        if ckpt.latest_step() != args.updates:  # periodic save may have hit it
+            ckpt.save(args.updates, state, force=True)
         ckpt.close()
     logger.close()
     return 0

@@ -91,7 +91,7 @@ class DQN:
         cfg, env_cfg = self.cfg, self.env.cfg
         k_env, k_net, k_run = jax.random.split(key, 3)
         env_state, ts = self.env.init_jit(k_env, cfg.num_envs)
-        params = self.net.init(
+        params = jax.jit(self.net.init)(
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )
         b = cfg.buffer_size

@@ -108,7 +108,7 @@ class PPO:
         # jitted env init: eager init is minutes of tiny remote compiles on
         # the tunnel platform (see vector_env.reset note)
         env_state, ts = self.env.init_jit(k_env, cfg.num_envs)
-        params = self.net.init(
+        params = jax.jit(self.net.init)(
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )
         opt_state = self.tx.init(params)
