@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a device trace for updates 2-4")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
                    help="cpu: force the CPU backend (debug/smoke runs)")
+    p.add_argument("--debug", action="store_true",
+                   help="NaN trapping + per-log-step env-state validation")
     return p
 
 
@@ -60,6 +62,10 @@ def main(argv=None) -> int:
     from blockpuzzle_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.debug:
+        from blockpuzzle_tpu.utils import enable_debug_mode
+
+        enable_debug_mode()
     if args.distributed:
         dist.init_distributed()
 
@@ -115,6 +121,10 @@ def main(argv=None) -> int:
                 f"update {update + 1}: return={host.get('episode_return', 0):.1f} "
                 f"loss={host.get('loss', 0):.4f} steps/s={sps / 1e6:.2f}M"
             )
+        if args.debug and (update + 1) % args.log_every == 0:
+            from blockpuzzle_tpu.utils import validate_env_state
+
+            validate_env_state(env, state.env_state)
         if ckpt and (update + 1) % args.checkpoint_every == 0:
             ckpt.save(update + 1, state)
     if ckpt:

@@ -61,7 +61,7 @@ class VecBlockPuzzle:
             ("rbg" is ~25% faster end-to-end on v5e than "threefry2x32";
             parity mode injects the oracle's deals and never touches this).
         """
-        if backend not in ("jnp", "pallas"):
+        if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
         self.cfg = cfg
         self.backend = backend
@@ -126,19 +126,25 @@ class VecBlockPuzzle:
         else:
             self._region_masks = None
 
-        if backend == "pallas":
+        if backend in ("pallas", "hybrid"):
             # deferred import: kernels pull in pallas machinery
             from blockpuzzle_tpu.kernels import (
                 ApplyKernel,
                 ClearScanKernel,
                 LegalityKernel,
+                MaskKernel,
             )
 
             # compiled Mosaic kernels on TPU; interpreter elsewhere (CI)
             self._interpret = jax.default_backend() != "tpu"
-            self._k_clear = ClearScanKernel(cfg)
-            self._k_legal = LegalityKernel(cfg)
-            self._k_apply = ApplyKernel(cfg)
+            # "hybrid": jnp step + the fused mask kernel (the mask matmul +
+            # hand selection is the dominant step cost — see
+            # docs/ARCHITECTURE.md); "pallas": all kernels.
+            self._k_mask = MaskKernel(cfg)
+            if backend == "pallas":
+                self._k_clear = ClearScanKernel(cfg)
+                self._k_legal = LegalityKernel(cfg)
+                self._k_apply = ApplyKernel(cfg)
 
     # ------------------------------------------------------------------
     # RNG: counter-based deals
@@ -190,9 +196,11 @@ class VecBlockPuzzle:
         out-of-bounds anchors pre-biased by +1024) followed by a gather-free
         static-slice one-hot selection of each hand slot's piece row.
         """
-        if self.backend == "pallas":
-            legal_all = self._k_legal(board, interpret=self._interpret)
-            return self._mask_from_legal_all(legal_all, queue)
+        if self.backend in ("pallas", "hybrid"):
+            n = board.shape[0]
+            if n % min(self._k_mask.tile_n, n) == 0:
+                return self._k_mask(board, queue, interpret=self._interpret)
+            # ragged batch: jnp fallback below
         counts_adj = (
             jnp.dot(
                 board.astype(jnp.bfloat16),

@@ -43,17 +43,17 @@ class DQNConfig:
 
 @struct.dataclass
 class Replay:
-    """Circular on-device replay buffer (capacity B transitions)."""
+    """Circular on-device replay buffer (capacity B transitions).
 
-    board: jax.Array        # (B, H*W) uint8
-    queue: jax.Array        # (B, S) int32
-    action_mask: jax.Array  # (B, A) bool
-    action: jax.Array       # (B,) int32
-    reward: jax.Array       # (B,) float32
-    next_board: jax.Array
-    next_queue: jax.Array
-    next_mask: jax.Array
-    terminated: jax.Array   # (B,) bool
+    Transitions are PACKED into two row blobs so a write is 2 scatters and
+    a sample is 2 gathers (a 9-buffer layout made the jitted iteration
+    pathologically slow to compile on the axon platform).  u8 row layout:
+    [board(HW) | next_board(HW) | queue(S) | next_queue(S) | mask(A) |
+     next_mask(A) | terminated(1)]; f32 row: [reward, action].
+    """
+
+    bytes_buf: jax.Array    # (B, L8) uint8 packed
+    float_buf: jax.Array    # (B, 2) float32: [reward, action]
     cursor: jax.Array       # () int32 — next write slot
     filled: jax.Array       # () int32 — number of valid entries
 
@@ -95,16 +95,13 @@ class DQN:
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )
         b = cfg.buffer_size
+        row_len = (
+            2 * env_cfg.num_cells + 2 * env_cfg.queue_size
+            + 2 * env_cfg.num_actions() + 1
+        )
         replay = Replay(
-            board=jnp.zeros((b, env_cfg.num_cells), jnp.uint8),
-            queue=jnp.zeros((b, env_cfg.queue_size), jnp.int32),
-            action_mask=jnp.zeros((b, env_cfg.num_actions()), bool),
-            action=jnp.zeros((b,), jnp.int32),
-            reward=jnp.zeros((b,), jnp.float32),
-            next_board=jnp.zeros((b, env_cfg.num_cells), jnp.uint8),
-            next_queue=jnp.zeros((b, env_cfg.queue_size), jnp.int32),
-            next_mask=jnp.zeros((b, env_cfg.num_actions()), bool),
-            terminated=jnp.zeros((b,), bool),
+            bytes_buf=jnp.zeros((b, row_len), jnp.uint8),
+            float_buf=jnp.zeros((b, 2), jnp.float32),
             cursor=jnp.zeros((), jnp.int32),
             filled=jnp.zeros((), jnp.int32),
         )
@@ -148,23 +145,55 @@ class DQN:
         explore = jax.random.uniform(k_eps, greedy.shape) < eps
         return jnp.where(explore, rand, greedy)
 
+    def _pack(self, trans: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        """Transitions dict -> (u8 rows (n, L8), f32 rows (n, 2))."""
+        rows = jnp.concatenate(
+            [
+                trans["board"],
+                trans["next_board"],
+                trans["queue"].astype(jnp.uint8),
+                trans["next_queue"].astype(jnp.uint8),
+                trans["action_mask"].astype(jnp.uint8),
+                trans["next_mask"].astype(jnp.uint8),
+                trans["terminated"].astype(jnp.uint8)[:, None],
+            ],
+            axis=1,
+        )
+        floats = jnp.stack(
+            [trans["reward"], trans["action"].astype(jnp.float32)], axis=1
+        )
+        return rows, floats
+
+    def _unpack(self, rows: jax.Array, floats: jax.Array) -> Dict[str, jax.Array]:
+        cfg = self.env.cfg
+        hw, s, a = cfg.num_cells, cfg.queue_size, cfg.num_actions()
+        o = 0
+
+        def take(width):
+            nonlocal o
+            part = rows[:, o : o + width]
+            o += width
+            return part
+
+        return {
+            "board": take(hw),
+            "next_board": take(hw),
+            "queue": take(s).astype(jnp.int32),
+            "next_queue": take(s).astype(jnp.int32),
+            "action_mask": take(a).astype(bool),
+            "next_mask": take(a).astype(bool),
+            "terminated": take(1)[:, 0].astype(bool),
+            "reward": floats[:, 0],
+            "action": floats[:, 1].astype(jnp.int32),
+        }
+
     def _write_replay(self, replay: Replay, trans: Dict[str, jax.Array]) -> Replay:
         n = trans["action"].shape[0]
         idx = (replay.cursor + jnp.arange(n)) % self.cfg.buffer_size
-
-        def put(buf, val):
-            return buf.at[idx].set(val)
-
+        rows, floats = self._pack(trans)
         return replay.replace(
-            board=put(replay.board, trans["board"]),
-            queue=put(replay.queue, trans["queue"]),
-            action_mask=put(replay.action_mask, trans["action_mask"]),
-            action=put(replay.action, trans["action"]),
-            reward=put(replay.reward, trans["reward"]),
-            next_board=put(replay.next_board, trans["next_board"]),
-            next_queue=put(replay.next_queue, trans["next_queue"]),
-            next_mask=put(replay.next_mask, trans["next_mask"]),
-            terminated=put(replay.terminated, trans["terminated"]),
+            bytes_buf=replay.bytes_buf.at[idx].set(rows),
+            float_buf=replay.float_buf.at[idx].set(floats),
             cursor=(replay.cursor + n) % self.cfg.buffer_size,
             filled=jnp.minimum(replay.filled + n, self.cfg.buffer_size),
         )
@@ -242,17 +271,7 @@ class DQN:
             idx = jax.random.randint(
                 k_samp, (cfg.batch_size,), 0, jnp.maximum(replay.filled, 1)
             )
-            sample = {
-                "board": replay.board[idx],
-                "queue": replay.queue[idx],
-                "action_mask": replay.action_mask[idx],
-                "action": replay.action[idx],
-                "reward": replay.reward[idx],
-                "next_board": replay.next_board[idx],
-                "next_queue": replay.next_queue[idx],
-                "next_mask": replay.next_mask[idx],
-                "terminated": replay.terminated[idx],
-            }
+            sample = self._unpack(replay.bytes_buf[idx], replay.float_buf[idx])
             grads, metrics = jax.grad(self._td_loss, has_aux=True)(
                 params, target_params, sample
             )

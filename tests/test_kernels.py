@@ -130,3 +130,48 @@ def test_ragged_batch_falls_back_to_reference(rng):
     out_board, out_k = k(boards, interpret=True)
     ref_board, ref_k = k.reference(boards)
     np.testing.assert_array_equal(np.asarray(out_board), np.asarray(ref_board))
+
+
+def test_mask_kernel_matches_action_mask(rng):
+    """Fused mask kernel == engine action_mask, incl. empty sentinel slots."""
+    from blockpuzzle_tpu.kernels import MaskKernel
+    from blockpuzzle_tpu.config import tenten_config
+
+    for cfg in (default_config(), tenten_config()):
+        env = make_env(cfg)
+        mk = MaskKernel(cfg, tile_n=8)
+        board = (rng.random((16, cfg.num_cells)) < 0.4).astype(np.uint8)
+        queue = rng.integers(
+            0, env.num_pieces + 1, size=(16, cfg.queue_size)
+        ).astype(np.int32)
+        ref = np.asarray(env.action_mask(jnp.asarray(board), jnp.asarray(queue)))
+        got = np.asarray(mk(jnp.asarray(board), jnp.asarray(queue), interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_hybrid_backend_step_parity(rng):
+    """hybrid backend (jnp step + pallas mask) bit-equal to jnp backend."""
+    cfg = default_config()
+    ej = make_env(cfg, backend="jnp")
+    eh = make_env(cfg, backend="hybrid")
+    n = 8
+    sj, tj = ej.init(jax.random.key(0), n)
+    sh, th = eh.init(jax.random.key(0), n)
+    np.testing.assert_array_equal(
+        np.asarray(tj.action_mask), np.asarray(th.action_mask)
+    )
+    key = jax.random.key(1)
+    for t in range(15):
+        key, sub = jax.random.split(key)
+        a = jax.random.categorical(
+            sub, jnp.where(tj.action_mask, 0.0, -1e9), axis=-1
+        )
+        deals = jax.random.randint(sub, (n, 1), 0, ej.num_pieces, jnp.int32)
+        sj, tj = ej.step(sj, a, deal_override=deals)
+        sh, th = eh.step(sh, a, deal_override=deals)
+        np.testing.assert_array_equal(
+            np.asarray(tj.board), np.asarray(th.board), f"t={t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tj.action_mask), np.asarray(th.action_mask), f"t={t}"
+        )
