@@ -46,10 +46,10 @@ def main(argv=None) -> int:
     ppo = PPO(env, PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len))
     template = ppo.init(jax.random.key(args.seed))
     mgr = CheckpointManager(args.checkpoint_dir)
-    state = mgr.restore(template, step=args.step)
+    # params-only restore: eval doesn't need the optimizer state, and this
+    # stays compatible with checkpoints trained under any LR schedule
+    params = mgr.restore_params(template.params, step=args.step)
     print(f"restored checkpoint step {args.step or mgr.latest_step()}")
-
-    params = state.params
     env_state, ts = env.init_jit(jax.random.key(args.seed + 1), args.num_envs)
 
     @jax.jit

@@ -83,7 +83,7 @@ def run_batched(args) -> int:
         return state, mask, key, [o.sum() for o in outs]
 
     meter = Throughput()
-    key = jax.random.key(args.seed + 1)
+    key = jax.random.key(args.seed + 1, impl="rbg")  # fast PRNG for sampling
     mask = ts.action_mask
     total_r = total_ep_r = total_eps = 0.0
     for i in range(max(args.steps // 100, 1)):

@@ -89,7 +89,6 @@ class VecBlockPuzzle:
         self._cover_u8 = jnp.asarray(t.cover, dtype=jnp.uint8)           # (P*HW, HW)
         self._cover_t_bf16 = jnp.asarray(t.cover.T, dtype=jnp.bfloat16)  # (HW, P*HW)
         self._valid = jnp.asarray(t.valid)                               # (P*HW,)
-        self._piece_cells = jnp.asarray(t.piece_cells, dtype=jnp.int32)  # (P,)
         # attrs rows: [h, w, cells, dr1, dc1, h1, w1, dr2, dc2, h2, w2]
         attrs = np.concatenate(
             [
@@ -165,6 +164,23 @@ class VecBlockPuzzle:
 
         return jax.vmap(one)(base_key, counter)
 
+    def _deal_batch2(
+        self, base_key: jax.Array, counter: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Refill + auto-reset deals from ONE draw per env per step
+        ((N, 2S) randint instead of two tagged fold_in chains — halves the
+        per-step PRNG work on the fast path)."""
+        s = self.cfg.queue_size
+
+        def one(key, ctr):
+            k = jax.random.fold_in(key, ctr)
+            return jax.random.randint(
+                k, (2 * s,), 0, self.num_pieces, dtype=jnp.int32
+            )
+
+        v = jax.vmap(one)(base_key, counter)
+        return v[:, :s], v[:, s:]
+
     # ------------------------------------------------------------------
     # Masking: the MXU legality matmul
     # ------------------------------------------------------------------
@@ -201,39 +217,36 @@ class VecBlockPuzzle:
             if n % min(self._k_mask.tile_n, n) == 0:
                 return self._k_mask(board, queue, interpret=self._interpret)
             # ragged batch: jnp fallback below
-        counts_adj = (
+        # compare BEFORE selection so the == 0 fuses into the matmul
+        # epilogue and the all-pieces intermediate is bool (half the HBM
+        # traffic of bf16 counts)
+        legal_all = (
             jnp.dot(
                 board.astype(jnp.bfloat16),
                 self._cover_t_bf16,
                 preferred_element_type=jnp.bfloat16,
             )
             + self._counts_adj
-        )  # (N, P*HW) bf16; == 0 iff legal AND in bounds
-        return self._mask_from_counts(counts_adj, queue)
+        ) == 0  # (N, P*HW) bool; legal AND in bounds
+        return self._mask_from_counts(legal_all, queue)
 
     def _mask_from_counts(
-        self, counts_adj: jax.Array, queue: jax.Array
+        self, legal_all: jax.Array, queue: jax.Array
     ) -> jax.Array:
         hw = self.cfg.num_cells
         masks = []
         for s in range(self.cfg.queue_size):
             pid_s = queue[:, s]
             oh = self._piece_onehot(pid_s)                            # (N, P)
-            acc = jnp.zeros_like(counts_adj[:, :hw])
+            acc = jnp.zeros((legal_all.shape[0], hw), jnp.bfloat16)
             for p in range(self.num_pieces):
-                acc = acc + counts_adj[:, p * hw : (p + 1) * hw] * oh[:, p : p + 1]
-            m = jnp.logical_and(acc == 0, (pid_s < self.num_pieces)[:, None])
+                acc = acc + (
+                    legal_all[:, p * hw : (p + 1) * hw].astype(jnp.bfloat16)
+                    * oh[:, p : p + 1]
+                )
+            m = jnp.logical_and(acc > 0.5, (pid_s < self.num_pieces)[:, None])
             masks.append(m)
         return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
-
-    def _mask_from_legal_all(
-        self, legal_all: jax.Array, queue: jax.Array
-    ) -> jax.Array:
-        n = queue.shape[0]
-        pid = jnp.minimum(queue, self.num_pieces - 1)                 # (N, S)
-        per_slot = jnp.take_along_axis(legal_all, pid[:, :, None], axis=1)
-        per_slot = jnp.logical_and(per_slot, (queue < self.num_pieces)[:, :, None])
-        return per_slot.reshape(n, self.num_actions)
 
     def _empty_board_mask(self, queue: jax.Array) -> jax.Array:
         """Action mask for a fresh (empty) board: one-hot @ in-bounds table
@@ -479,8 +492,11 @@ class VecBlockPuzzle:
             refill_slots = jnp.logical_and(empty, trigger[:, None])
         else:
             refill_slots = empty
+        reset_deals = None
         if deal_override is None:
-            deals = self._deal_batch(state.base_key, state.rng_counter, tag=0)
+            deals, reset_deals = self._deal_batch2(
+                state.base_key, state.rng_counter
+            )
         else:
             deals = jnp.asarray(deal_override, dtype=jnp.int32)
         # Deal-stream position of each refilled slot (ascending slot order —
@@ -522,9 +538,11 @@ class VecBlockPuzzle:
 
         # -- auto-reset (fused; SURVEY.md §3.3) --------------------------
         if auto_reset:
-            reset_queue = self._deal_batch(
-                state.base_key, state.rng_counter, tag=1
-            )
+            if reset_deals is None:  # parity mode with auto-reset
+                reset_deals = self._deal_batch(
+                    state.base_key, state.rng_counter, tag=1
+                )
+            reset_queue = reset_deals
             board_out = jnp.where(
                 done[:, None], jnp.zeros_like(board_next), board_next
             )

@@ -159,6 +159,8 @@ class PPO:
                 ts.info["episode_return"] * ts.done,
                 ts.info["episode_length"] * ts.done,
                 ts.done,
+                ts.info["lines_cleared"],
+                ts.info["legal"],
             )
             return (
                 env_state,
@@ -177,12 +179,15 @@ class PPO:
         )
         _, last_value = self.net.apply(state.params, board, queue, mask)
         new_state = state.replace(env_state=env_state, key=key)
-        ep_ret, ep_len, dones = ep_stats
+        ep_ret, ep_len, dones, lines, legal = ep_stats
         n_done = jnp.maximum(dones.sum(), 1)
         stats = {
             "episode_return": ep_ret.sum() / n_done,
             "episode_length": ep_len.sum() / n_done,
             "episodes_finished": dones.sum(),
+            # SURVEY.md §5 observability: clear rate + illegal-action rate
+            "lines_per_step": lines.mean(),
+            "illegal_action_rate": 1.0 - legal.mean(),
         }
         return new_state, batch, last_value, stats
 

@@ -45,6 +45,27 @@ class CheckpointManager:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_params(self, params_template: Any, step: Optional[int] = None) -> Any:
+        """Restore only the ``params`` subtree of a saved TrainState.
+
+        Lets evaluation restore weights from checkpoints whose optimizer
+        state doesn't match the local template (e.g. trained with a LR
+        schedule).
+        """
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self._dir}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, params_template)
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item={"params": abstract},
+                partial_restore=True,
+            ),
+        )
+        return restored["params"]
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -136,3 +136,18 @@ def test_dqn_replay_wraps(env):
     state, m = dqn.iteration_jit(state)  # writes 24 > 16: wraps
     assert int(state.replay.filled) == 16
     assert int(state.replay.cursor) == 8
+
+
+def test_ppo_update_on_tenten_preset():
+    """Multi-slot queue config exercises the S>1 learner/mask paths."""
+    from blockpuzzle_tpu.config import tenten_config
+
+    env3 = make_env(tenten_config())
+    ppo = PPO(env3, PPOConfig(
+        num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
+        hidden=16, channels=(4,),
+    ))
+    state = ppo.init(jax.random.key(0))
+    state, metrics = ppo.update_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["illegal_action_rate"]) == 0.0  # masked policy

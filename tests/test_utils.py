@@ -143,3 +143,33 @@ def test_scope_timer():
         pass
     s = t.summary()
     assert set(s) == {"a", "b"}
+
+
+def test_restore_params_across_optimizer_mismatch(tmp_path):
+    """Eval-style params-only restore from a checkpoint whose optimizer
+    state doesn't match the local template (LR-schedule mismatch)."""
+    env = make_env(default_config())
+    train_ppo = PPO(env, PPOConfig(
+        num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
+        hidden=16, channels=(4,), anneal_updates=10,
+    ))
+    state = train_ppo.init(jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+
+    eval_ppo = PPO(env, PPOConfig(
+        num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
+        hidden=16, channels=(4,),  # no anneal: different opt-state tree
+    ))
+    template = eval_ppo.init(jax.random.key(1))
+    # fresh manager, as in a real eval process (a single orbax manager
+    # registers one handler type per item; mixing Standard save +
+    # PyTree partial-restore on the same instance is rejected)
+    mgr.close()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    params = mgr.restore_params(template.params)
+    a = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    mgr.close()
