@@ -57,6 +57,9 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
             cfg = dataclasses.replace(cfg, **overrides)
         self.cfg = cfg
         self.tables = rules.tables_for(cfg)
+        # raw piece grids (the spec itself) — the oracle computes legality
+        # from these, independent of the engine's derived cover/valid tables
+        self._grids = rules.piece_grids(cfg.piece_set)
         self.render_mode = render_mode
 
         h, w, s = cfg.height, cfg.width, cfg.queue_size
@@ -98,36 +101,57 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
     # -- placement / clear core --------------------------------------------
 
     def can_place(self, piece_id: int, r: int, c: int) -> bool:
-        t = self.tables
-        ph, pw = int(t.piece_h[piece_id]), int(t.piece_w[piece_id])
+        grid = self._grids[piece_id]
+        ph, pw = grid.shape
         if r < 0 or c < 0 or r + ph > self.cfg.height or c + pw > self.cfg.width:
             return False
-        grid = t.pieces[piece_id, :ph, :pw]
         window = self.board[r : r + ph, c : c + pw]
         return not np.any(window & grid)
 
     def legal_action_mask(self) -> np.ndarray:
-        """(queue_size * H * W,) bool mask over the flat action space."""
+        """(queue_size * H * W,) bool mask over the flat action space.
+
+        NumPy-vectorized (the reference's clear/reward logic is NumPy per
+        BASELINE.json) via sliding-window overlap counts.  Deliberately
+        INDEPENDENT of the precomputed cover/valid tables the TPU engine
+        uses (rules.build_tables): this oracle is the parity target, so it
+        must not share the engine's derived data — only the raw piece
+        grids, which are the spec itself.  Identical piece ids across
+        slots compute once.
+        """
         cfg = self.cfg
+        hw = cfg.num_cells
         mask = np.zeros(cfg.num_actions(), dtype=bool)
+        per_pid: Dict[int, np.ndarray] = {}
         for slot in range(cfg.queue_size):
             pid = int(self.queue[slot])
             if pid == self._empty_id:
                 continue
-            base = slot * cfg.num_cells
-            ph, pw = int(self.tables.piece_h[pid]), int(self.tables.piece_w[pid])
-            grid = self.tables.pieces[pid, :ph, :pw]
-            for r in range(cfg.height - ph + 1):
-                for c in range(cfg.width - pw + 1):
-                    if not np.any(self.board[r : r + ph, c : c + pw] & grid):
-                        mask[base + r * cfg.width + c] = True
+            row = per_pid.get(pid)
+            if row is None:
+                row = self._piece_legal_row(pid)
+                per_pid[pid] = row
+            mask[slot * hw : (slot + 1) * hw] = row
         return mask
 
+    def _piece_legal_row(self, pid: int) -> np.ndarray:
+        """(H*W,) bool legality of piece ``pid`` at every anchor."""
+        cfg = self.cfg
+        grid = self._grids[pid]
+        ph, pw = grid.shape
+        windows = np.lib.stride_tricks.sliding_window_view(
+            self.board, (ph, pw)
+        )  # (H-ph+1, W-pw+1, ph, pw)
+        overlap = np.einsum("rcij,ij->rc", windows, grid)
+        row = np.zeros((cfg.height, cfg.width), dtype=bool)
+        row[: overlap.shape[0], : overlap.shape[1]] = overlap == 0
+        return row.reshape(-1)
+
     def _place(self, piece_id: int, r: int, c: int) -> int:
-        t = self.tables
-        ph, pw = int(t.piece_h[piece_id]), int(t.piece_w[piece_id])
-        self.board[r : r + ph, c : c + pw] |= t.pieces[piece_id, :ph, :pw]
-        return int(t.piece_cells[piece_id])
+        grid = self._grids[piece_id]
+        ph, pw = grid.shape
+        self.board[r : r + ph, c : c + pw] |= grid
+        return int(grid.sum())
 
     def _clear(self) -> int:
         """Simultaneous clear of all full rows + cols (+ regions). Returns k."""
@@ -156,27 +180,18 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
         return k
 
     def _game_over(self) -> bool:
-        cfg = self.cfg
-        for slot in range(cfg.queue_size):
-            pid = int(self.queue[slot])
-            if pid == self._empty_id:
-                continue
-            ph, pw = int(self.tables.piece_h[pid]), int(self.tables.piece_w[pid])
-            grid = self.tables.pieces[pid, :ph, :pw]
-            for r in range(cfg.height - ph + 1):
-                for c in range(cfg.width - pw + 1):
-                    if not np.any(self.board[r : r + ph, c : c + pw] & grid):
-                        return False
-        return True
+        return not self.legal_action_mask().any()
 
     # -- Gymnasium API ------------------------------------------------------
 
     def _get_obs(self) -> Dict[str, np.ndarray]:
         return {"board": self.board.copy(), "queue": self.queue.copy()}
 
-    def _get_info(self, **extra: Any) -> Dict[str, Any]:
+    def _get_info(
+        self, mask: Optional[np.ndarray] = None, **extra: Any
+    ) -> Dict[str, Any]:
         info = {
-            "action_mask": self.legal_action_mask(),
+            "action_mask": self.legal_action_mask() if mask is None else mask,
             "score": self.score,
             "lines_cleared_total": self.lines_cleared_total,
         }
@@ -220,13 +235,14 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
             reward = cfg.illegal_penalty
 
         self.steps += 1
-        terminated = self._game_over()
+        mask = self.legal_action_mask()  # one mask: termination + info
+        terminated = not mask.any()
         if terminated:
             reward += cfg.terminal_penalty
         truncated = cfg.max_steps > 0 and self.steps >= cfg.max_steps
         self.score += reward
         obs = self._get_obs()
-        info = self._get_info(legal=legal, lines_cleared=lines)
+        info = self._get_info(mask=mask, legal=legal, lines_cleared=lines)
         return obs, float(reward), terminated, truncated, info
 
     # -- rendering ----------------------------------------------------------
