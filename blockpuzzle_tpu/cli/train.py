@@ -100,17 +100,19 @@ def main(argv=None) -> int:
     logger = MetricsLogger(args.log_dir, run_name=f"{args.algo}-{args.preset}")
     meter = Throughput()
 
-    from blockpuzzle_tpu.utils import device_trace
-    import contextlib
 
+    profiling_active = False
     for update in range(start, args.updates):
-        profiling = (
-            device_trace(args.profile_dir)
-            if args.profile_dir and update == 2
-            else contextlib.nullcontext()
-        )
-        with profiling:
-            state, metrics = step_fn(state)
+        # capture a device trace spanning updates 2-4 (post-compile,
+        # steady-state)
+        if args.profile_dir and update == 2 and not profiling_active:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling_active = True
+        state, metrics = step_fn(state)
+        if profiling_active and (update >= 4 or update == args.updates - 1):
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profiling_active = False
         jax.block_until_ready(metrics["loss"] if "loss" in metrics else metrics)
         sps = meter.tick(steps_per_call)
         if (update + 1) % args.log_every == 0 or update == start:

@@ -24,11 +24,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from blockpuzzle_tpu.dist.mesh import ENV_AXIS
 
 # (regex over '/'-joined param path, PartitionSpec) — first match wins.
+# NOTE: kernels flagged by nn.with_partitioning flatten as
+# ".../kernel/value" (flax boxes them in Partitioned), so rules must not
+# anchor on "kernel$".
 PARAM_RULES = [
     # column-parallel hidden projection: (in, hidden) -> shard hidden
     (r"Torso_0/Dense_0/kernel", P(None, "tp")),
     # row-parallel output heads: (hidden, out) -> shard hidden
-    (r"Dense_0/kernel$", P("tp", None)),
+    (r"Dense_0/kernel", P("tp", None)),
     (r".*", P()),
 ]
 

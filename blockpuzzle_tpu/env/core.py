@@ -416,8 +416,12 @@ class VecBlockPuzzle:
         action = action.astype(jnp.int32)
 
         # -- decode + arithmetic footprint (gather-free) ------------------
-        slot = action // hw                                           # (N,)
-        cell = action % hw
+        # Out-of-range actions are illegal no-ops (the single-env oracle
+        # raises; a batched SPMD program cannot, so reject-in-graph).
+        in_range = jnp.logical_and(action >= 0, action < self.num_actions)
+        action_c = jnp.clip(action, 0, self.num_actions - 1)
+        slot = action_c // hw                                         # (N,)
+        cell = action_c % hw
         slot_onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (n, cfg.queue_size), 1)
             == slot[:, None]
@@ -438,7 +442,7 @@ class VecBlockPuzzle:
         ).astype(jnp.int32)                                           # (N, 11)
         ph, pw, cells_placed = attrs[:, 0], attrs[:, 1], attrs[:, 2]
         valid_a = jnp.logical_and(
-            slot_filled,
+            jnp.logical_and(in_range, slot_filled),
             jnp.logical_and(r + ph <= cfg.height, c + pw <= cfg.width),
         )
         # footprint = union of <=2 rectangles, from broadcast index compares
@@ -521,9 +525,9 @@ class VecBlockPuzzle:
         )
         steps_next = state.steps + 1
         if cfg.max_steps > 0:
-            truncated = jnp.logical_and(
-                steps_next >= cfg.max_steps, jnp.logical_not(terminated)
-            )
+            # independent of `terminated` — the oracle sets both flags when
+            # the game ends exactly at the horizon, and parity is bit-exact
+            truncated = steps_next >= cfg.max_steps
         else:
             truncated = jnp.zeros(n, dtype=bool)
         done = jnp.logical_or(terminated, truncated)
@@ -552,10 +556,12 @@ class VecBlockPuzzle:
             )
             steps_out = jnp.where(done, 0, steps_next)
             score_out = jnp.where(done, 0.0, score_next)
-            # pre-reset ("final") observation for Gym-adapter consumers;
-            # identical to the live obs for non-done envs
+            # pre-reset ("final") observation for Gym-adapter and learner
+            # consumers (truncation bootstrapping); identical to the live
+            # obs for non-done envs
             info["final_board"] = board_next.reshape(n, cfg.height, cfg.width)
             info["final_queue"] = queue3
+            info["final_action_mask"] = mask
         else:
             board_out, queue_out, mask_out = board_next, queue3, mask
             steps_out, score_out = steps_next, score_next

@@ -239,15 +239,20 @@ class DQN:
             key, k_act = jax.random.split(key)
             action = self._act(state.params, board, queue, mask, k_act, eps)
             env_state, ts = self.env.step(env_state, action)
+            # next obs = the PRE-auto-reset ("final") observation: for done
+            # envs ts.board/queue/mask already belong to the next episode,
+            # which would corrupt the truncation bootstrap
             trans = {
                 "board": board.reshape(board.shape[0], -1),
                 "queue": queue,
                 "action_mask": mask,
                 "action": action,
                 "reward": ts.reward,
-                "next_board": ts.board.reshape(board.shape[0], -1),
-                "next_queue": ts.queue,
-                "next_mask": ts.action_mask,
+                "next_board": ts.info["final_board"].reshape(
+                    board.shape[0], -1
+                ),
+                "next_queue": ts.info["final_queue"],
+                "next_mask": ts.info["final_action_mask"],
                 "terminated": ts.terminated,
             }
             replay = self._write_replay(replay, trans)

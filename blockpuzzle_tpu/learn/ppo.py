@@ -59,6 +59,9 @@ class Batch:
     reward: jax.Array
     done: jax.Array
     terminated: jax.Array
+    # V(final obs) for truncation bootstrapping; zeros when the env config
+    # cannot truncate (max_steps == 0)
+    final_value: jax.Array
 
 
 @struct.dataclass
@@ -90,8 +93,15 @@ class PPO:
             hidden=self.cfg.hidden,
         )
         if self.cfg.anneal_updates > 0:
+            # optax counts GRADIENT steps; one PPO update performs
+            # num_epochs * num_minibatches of them
+            grad_steps_per_update = (
+                self.cfg.num_epochs * self.cfg.num_minibatches
+            )
             schedule = optax.linear_schedule(
-                self.cfg.lr, 0.0, self.cfg.anneal_updates
+                self.cfg.lr,
+                0.0,
+                self.cfg.anneal_updates * grad_steps_per_update,
             )
         else:
             schedule = self.cfg.lr
@@ -144,6 +154,17 @@ class PPO:
             action = networks.masked_categorical(k_act, logits)
             logp = networks.log_prob(logits, action)
             env_state, ts = self.env.step(env_state, action)
+            if self.env.cfg.max_steps > 0:
+                # truncating config: value the PRE-reset final observation
+                # (the value head ignores the mask, so the live mask is fine)
+                _, v_final = self.net.apply(
+                    params,
+                    ts.info["final_board"],
+                    ts.info["final_queue"],
+                    ts.action_mask,
+                )
+            else:
+                v_final = jnp.zeros_like(value)
             transition = Batch(
                 board=board,
                 queue=queue,
@@ -154,6 +175,7 @@ class PPO:
                 reward=ts.reward,
                 done=ts.done,
                 terminated=ts.terminated,
+                final_value=v_final,
             )
             ep_stats = (
                 ts.info["episode_return"] * ts.done,
@@ -198,16 +220,22 @@ class PPO:
     ) -> Tuple[jax.Array, jax.Array]:
         """Generalized advantage estimation over the time axis.
 
-        Terminated steps stop the bootstrap; truncated steps bootstrap
-        through their stored value (the standard partial-episode fix).
+        Terminated steps stop the bootstrap; truncated steps bootstrap from
+        V(final observation) — NOT the post-auto-reset observation's value
+        (auto-reset is same-step, so ``next_value`` at a truncation belongs
+        to the NEXT episode).
         """
         cfg = self.cfg
 
         def body(carry, xs):
             gae, next_value = carry
-            reward, value, done, terminated = xs
-            # value bootstrap: 0 where the episode truly ended
-            next_v = jnp.where(terminated, 0.0, next_value)
+            reward, value, done, terminated, final_value = xs
+            truncated = jnp.logical_and(done, jnp.logical_not(terminated))
+            next_v = jnp.where(
+                terminated,
+                0.0,
+                jnp.where(truncated, final_value, next_value),
+            )
             delta = reward + cfg.gamma * next_v - value
             gae = delta + cfg.gamma * cfg.gae_lambda * jnp.where(
                 done, 0.0, gae
@@ -217,7 +245,8 @@ class PPO:
         (_, _), advantages = jax.lax.scan(
             body,
             (jnp.zeros_like(last_value), last_value),
-            (batch.reward, batch.value, batch.done, batch.terminated),
+            (batch.reward, batch.value, batch.done, batch.terminated,
+             batch.final_value),
             reverse=True,
         )
         returns = advantages + batch.value

@@ -91,7 +91,12 @@ class BlockPuzzleVectorEnv(VectorEnv):
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
-        key = jax.random.key(0 if seed is None else seed)
+        if seed is None:
+            # gymnasium convention: unseeded resets draw fresh entropy
+            import os as _os
+
+            seed = int.from_bytes(_os.urandom(4), "little")
+        key = jax.random.key(seed)
         # jitted init: eager init dispatches hundreds of tiny remote
         # compiles on the tunnel platform (minutes instead of seconds)
         self._state, ts = self.engine.init_jit(key, self.num_envs)

@@ -99,3 +99,28 @@ def test_tp2_mesh_shards_dense_kernel():
     state = jax.device_put(state, shardings)
     state2, metrics = jax.jit(ppo.update, donate_argnums=(0,))(state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_param_rules_shard_head_kernels():
+    """The row-parallel head rule must actually match the flax param paths
+    (Partitioned-boxed kernels flatten with a trailing /value element)."""
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4, hidden=64,
+                             channels=(8,), num_epochs=1, num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    import flax
+
+    flat = {
+        "/".join(str(getattr(k, "name", getattr(k, "key", k))) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(
+            spec, is_leaf=lambda x: isinstance(x, P)
+        )[0]
+    }
+    torso = [k for k in flat if "Torso_0/Dense_0/kernel" in k]
+    heads = [
+        k for k in flat
+        if "/Dense_0/kernel" in k and "Torso" not in k and "params/" in k
+    ]
+    assert torso and all(flat[k] == P(None, "tp") for k in torso), flat
+    assert heads and all(flat[k] == P("tp", None) for k in heads), heads

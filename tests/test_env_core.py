@@ -175,3 +175,21 @@ def test_episode_stats_match_oracle_distribution():
         done_seen |= done
     assert done_seen.any(), "no episode finished in 400 random steps"
     assert min(returns) > 0
+
+
+def test_out_of_range_action_is_illegal_noop():
+    """Engine counterpart of the oracle's ValueError: out-of-range actions
+    must not place anything or touch the queue."""
+    cfg = default_config()
+    env = make_env(cfg)
+    state, ts = env.init(jax.random.key(0), 4)
+    q0 = np.asarray(state.queue).copy()
+    for bad in (cfg.num_actions(), cfg.num_actions() + 57, -1):
+        a = jnp.full(4, bad, jnp.int32)
+        state2, ts2 = env.step(state, a, auto_reset=False)
+        assert not bool(ts2.info["legal"].any()), bad
+        assert int(np.asarray(state2.board).sum()) == 0, bad
+        np.testing.assert_array_equal(np.asarray(state2.queue), q0)
+        np.testing.assert_array_equal(
+            np.asarray(ts2.reward), np.full(4, cfg.illegal_penalty, np.float32)
+        )

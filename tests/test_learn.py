@@ -83,6 +83,7 @@ def test_gae_simple_case(env):
         reward=jnp.array([[1.0, 1.0], [1.0, 1.0], [1.0, 1.0]]),
         done=jnp.array([[False, False], [False, True], [False, False]]),
         terminated=jnp.array([[False, False], [False, True], [False, False]]),
+        final_value=z,
     )
     last_value = jnp.array([5.0, 5.0])
     adv, ret = ppo._gae(batch, last_value)

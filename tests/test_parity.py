@@ -123,3 +123,12 @@ def test_batched_parity_lockstep():
                     err_msg=f"env {b} t={t}",
                 )
                 assert float(ts.reward[b]) == tr.rewards[t]
+
+
+def test_parity_with_truncation_horizon():
+    """max_steps > 0: flags (incl. terminated+truncated overlap at the
+    horizon) must match the oracle bit-for-bit."""
+    from blockpuzzle_tpu.config import EnvConfig
+
+    for seed in (0, 3):
+        replay_and_compare(EnvConfig(max_steps=12), seed, max_steps=64)
