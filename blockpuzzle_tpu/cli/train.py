@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma", type=float, default=0.995)
     p.add_argument("--anneal", type=int, default=0,
                    help="linear-decay LR to 0 over this many updates")
+    p.add_argument("--buffer-size", type=int, default=200_000,
+                   help="DQN replay capacity (transitions)")
+    p.add_argument("--eps-decay", type=int, default=2000,
+                   help="DQN epsilon decay horizon (iterations)")
+    p.add_argument("--target-update", type=int, default=500,
+                   help="DQN target-net sync period (gradient steps)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=10)
@@ -82,7 +88,11 @@ def main(argv=None) -> int:
         step_fn = learner.update_jit
         steps_per_call = args.num_envs * args.rollout_len
     else:
-        learner = DQN(env, DQNConfig(num_envs=args.num_envs, lr=args.lr))
+        learner = DQN(env, DQNConfig(
+            num_envs=args.num_envs, lr=args.lr,
+            buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
+            target_update_every=args.target_update,
+        ))
         step_fn = learner.iteration_jit
         steps_per_call = args.num_envs * learner.cfg.collect_steps
 
