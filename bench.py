@@ -22,9 +22,9 @@ import sys
 import time
 
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
-NUM_ENVS = 16384                   # best measured batch (see BENCH notes)
-CHUNK = 100
-ITERS = 5
+NUM_ENVS = 32768                   # best measured batch (docs/RESULTS.md)
+CHUNK = 400                        # long chunks amortize dispatch latency
+ITERS = 3
 WINDOWS = 3                        # report the best window (tunnel jitter)
 
 

@@ -117,13 +117,20 @@ class VecBlockPuzzle:
         self._row_idx = jnp.asarray((cells // cfg.width)[None, :])       # (1, HW)
         self._col_idx = jnp.asarray((cells % cfg.width)[None, :])        # (1, HW)
         self._piece_iota = jnp.arange(t.num_pieces, dtype=jnp.int32)     # (P,)
+        # clear-scan line tables: rows + cols (+ regions) in ONE stack, so
+        # full-line detection is two tiny matmuls on flat boards (no
+        # (N, H, W) reshape relayouts in the hot loop)
+        line_parts = [t.row_masks, t.col_masks]
         if cfg.region_clear:
-            self._region_masks = jnp.asarray(t.region_masks, dtype=jnp.uint8)
-            self._region_sizes = jnp.asarray(
-                t.region_masks.sum(axis=1), dtype=jnp.int32
-            )
-        else:
-            self._region_masks = None
+            line_parts.append(t.region_masks)
+        line_masks = np.concatenate(line_parts, axis=0)       # (L, HW)
+        self._line_masks_bf16 = jnp.asarray(line_masks, dtype=jnp.bfloat16)
+        self._line_masks_t_bf16 = jnp.asarray(
+            line_masks.T, dtype=jnp.bfloat16
+        )
+        self._line_sizes = jnp.asarray(
+            line_masks.sum(axis=1)[None, :], dtype=jnp.float32
+        )                                                      # (1, L)
 
         if backend in ("pallas", "hybrid"):
             # deferred import: kernels pull in pallas machinery
@@ -277,32 +284,26 @@ class VecBlockPuzzle:
         The full set is computed before any clearing (reference simultaneity
         semantics, SURVEY.md §2.1 "Line/region clear").
         """
-        cfg = self.cfg
         if self.backend == "pallas":
             return self._k_clear(board, interpret=self._interpret)
-        n = board.shape[0]
-        b = board.reshape(n, cfg.height, cfg.width)
-        rows_full = jnp.all(b == 1, axis=2)                           # (N, H)
-        cols_full = jnp.all(b == 1, axis=1)                           # (N, W)
-        k = rows_full.sum(axis=1) + cols_full.sum(axis=1)
-        clear = jnp.logical_or(rows_full[:, :, None], cols_full[:, None, :])
-        if self._region_masks is not None:
-            # region r full iff board ∧ region_mask has region_size² cells
-            occ = jnp.dot(
-                board.astype(jnp.bfloat16),
-                jnp.asarray(self._region_masks.T, dtype=jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )  # (N, R)
-            regions_full = occ == self._region_sizes[None, :].astype(jnp.float32)
-            k = k + regions_full.sum(axis=1)
-            region_clear = jnp.einsum(
-                "nr,rc->nc",
-                regions_full.astype(jnp.uint8),
-                self._region_masks,
-            ).astype(bool)
-            clear = jnp.logical_or(clear, region_clear.reshape(n, cfg.height, cfg.width))
-        cleared = jnp.where(clear, jnp.uint8(0), b)
-        return cleared.reshape(n, cfg.num_cells), k.astype(jnp.int32)
+        # line l (row/col/region) is full iff its occupancy count equals its
+        # size; membership of cleared cells comes back via the transposed
+        # mask product — two tiny MXU matmuls on the FLAT board (counts are
+        # bf16-exact: <= max(H, W, region²) cells)
+        occ = jnp.dot(
+            board.astype(jnp.bfloat16),
+            self._line_masks_t_bf16,
+            preferred_element_type=jnp.float32,
+        )                                                     # (N, L)
+        full = occ == self._line_sizes
+        clear_cells = jnp.dot(
+            full.astype(jnp.bfloat16),
+            self._line_masks_bf16,
+            preferred_element_type=jnp.float32,
+        )                                                     # (N, HW)
+        cleared = jnp.where(clear_cells > 0, jnp.uint8(0), board)
+        k = full.sum(axis=1).astype(jnp.int32)
+        return cleared, k
 
     # ------------------------------------------------------------------
     # init / reset
