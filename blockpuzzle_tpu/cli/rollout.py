@@ -78,7 +78,7 @@ def run_batched(args) -> int:
             )
 
         (state, mask, key), outs = jax.lax.scan(
-            body, (state, mask, key), None, length=100
+            body, (state, mask, key), None, length=100, unroll=4
         )
         return state, mask, key, [o.sum() for o in outs]
 

@@ -76,7 +76,7 @@ def main() -> int:
                 return (state, ts2.action_mask, key), ts2.reward.sum()
 
             (state, mask, key), r = jax.lax.scan(
-                body, (state, mask, key), None, length=args.chunk
+                body, (state, mask, key), None, length=args.chunk, unroll=4
             )
             return state, mask, key, r.sum()
 

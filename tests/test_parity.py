@@ -132,3 +132,15 @@ def test_parity_with_truncation_horizon():
 
     for seed in (0, 3):
         replay_and_compare(EnvConfig(max_steps=12), seed, max_steps=64)
+
+
+def test_parity_mini5_piece_set():
+    """Alternate piece library exercises the piece_set knob end-to-end."""
+    from blockpuzzle_tpu.config import EnvConfig
+
+    replay_and_compare(EnvConfig(piece_set="mini5"), seed=0, max_steps=200)
+    replay_and_compare(
+        EnvConfig(piece_set="mini5", queue_size=2, refill_batch=True),
+        seed=1,
+        max_steps=200,
+    )
