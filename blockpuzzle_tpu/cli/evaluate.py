@@ -43,12 +43,21 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     env = make_env(PRESETS[args.preset]())
+    cfg = env.cfg
     ppo = PPO(env, PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len))
-    template = ppo.init(jax.random.key(args.seed))
+    # abstract params template via eval_shape — no device work, no env/opt
+    # init (a full TrainState init costs minutes of remote compile here)
+    params_template = jax.eval_shape(
+        ppo.net.init,
+        jax.random.key(0),
+        jnp.zeros((1, cfg.height, cfg.width), jnp.uint8),
+        jnp.zeros((1, cfg.queue_size), jnp.int32),
+        jnp.zeros((1, cfg.num_actions()), bool),
+    )
     mgr = CheckpointManager(args.checkpoint_dir)
     # params-only restore: eval doesn't need the optimizer state, and this
     # stays compatible with checkpoints trained under any LR schedule
-    params = mgr.restore_params(template.params, step=args.step)
+    params = mgr.restore_params(params_template, step=args.step)
     print(f"restored checkpoint step {args.step or mgr.latest_step()}")
     env_state, ts = env.init_jit(jax.random.key(args.seed + 1), args.num_envs)
 

@@ -21,16 +21,15 @@ from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.oracle import record_trajectory
 
 
-_REPLAY_CACHE: dict = {}
-
-
 def replay_on_device(env, init_deals, actions, deals):
     """Replay a recorded episode as ONE device program (no per-step host
     round trips — SURVEY.md §3.5 "batched offline compare").
 
+    The jitted replay program is cached on the env object itself (a
+    module-global id() keyed dict would pin every env forever).
     Returns stacked (T, ...) boards/queues/masks/rewards/terminated.
     """
-    cached = _REPLAY_CACHE.get(id(env))
+    cached = getattr(env, "_parity_replay_fn", None)
     if cached is not None:
         return cached(
             jnp.asarray(init_deals), jnp.asarray(actions), jnp.asarray(deals)
@@ -56,7 +55,7 @@ def replay_on_device(env, init_deals, actions, deals):
         _, outs = jax.lax.scan(body, state, (actions, deals))
         return ts0, outs
 
-    _REPLAY_CACHE[id(env)] = run
+    env._parity_replay_fn = run
     return run(jnp.asarray(init_deals), jnp.asarray(actions), jnp.asarray(deals))
 
 

@@ -59,7 +59,7 @@ def run_batched(args) -> int:
     enable_compilation_cache()
 
     env = make_env(PRESETS[args.preset]())
-    state, ts = env.init(jax.random.key(args.seed), args.num_envs)
+    state, ts = env.init_jit(jax.random.key(args.seed), args.num_envs)
 
     @jax.jit
     def chunk(state, mask, key):
@@ -85,17 +85,23 @@ def run_batched(args) -> int:
     meter = Throughput()
     key = jax.random.key(args.seed + 1, impl="rbg")  # fast PRNG for sampling
     mask = ts.action_mask
+    # warmup chunk: compiles the program and arms the throughput meter, so
+    # even a single measured chunk reports a real steady-state rate
+    state, mask, key, _ = chunk(state, mask, key)
+    jax.block_until_ready(mask)
+    meter.tick(0)
     total_r = total_ep_r = total_eps = 0.0
-    for i in range(max(args.steps // 100, 1)):
+    chunks = max(round(args.steps / 100), 1)
+    for i in range(chunks):
         state, mask, key, (r, ep_r, eps) = chunk(state, mask, key)
         jax.block_until_ready(r)
         sps = meter.tick(100 * args.num_envs)
         total_r += float(r)
         total_ep_r += float(ep_r)
         total_eps += float(eps)
-    steps = max(args.steps // 100, 1) * 100 * args.num_envs
+    steps = chunks * 100 * args.num_envs
     print(
-        f"{steps} env-steps | {sps / 1e6:.2f}M steps/s steady | "
+        f"{steps} env-steps (chunks of 100) | {sps / 1e6:.2f}M steps/s steady | "
         f"reward/step {total_r / steps:.3f} | "
         f"episodes {int(total_eps)} | "
         f"mean episode return "

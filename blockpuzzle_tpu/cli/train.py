@@ -115,11 +115,11 @@ def main(argv=None) -> int:
     for update in range(start, args.updates):
         # capture a device trace spanning updates 2-4 (post-compile,
         # steady-state)
-        if args.profile_dir and update == 2 and not profiling_active:
+        if args.profile_dir and update == start + 2 and not profiling_active:
             jax.profiler.start_trace(args.profile_dir)
             profiling_active = True
         state, metrics = step_fn(state)
-        if profiling_active and (update >= 4 or update == args.updates - 1):
+        if profiling_active and (update >= start + 4 or update == args.updates - 1):
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
             profiling_active = False

@@ -41,6 +41,10 @@ def _bf16(x: jax.Array) -> jax.Array:
     return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _line_table(cfg: EnvConfig) -> Tuple[np.ndarray, np.ndarray]:
     """(L, HW) stacked row+col(+region) masks and (L,) line sizes."""
     t = rules.tables_for(cfg)

@@ -30,11 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blockpuzzle_tpu import rules
 from blockpuzzle_tpu.config import EnvConfig
-from blockpuzzle_tpu.kernels.clear import _bf16, _line_table
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from blockpuzzle_tpu.kernels.clear import _bf16, _line_table, _round_up
 
 
 # ---------------------------------------------------------------------------

@@ -32,13 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blockpuzzle_tpu import rules
 from blockpuzzle_tpu.config import EnvConfig
-from blockpuzzle_tpu.kernels.clear import _bf16
+from blockpuzzle_tpu.kernels.clear import _bf16, _round_up
 
 LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _build_padded_tables(cfg: EnvConfig) -> Tuple[np.ndarray, np.ndarray, int]:

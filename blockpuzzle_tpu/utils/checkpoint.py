@@ -56,14 +56,26 @@ class CheckpointManager:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self._dir}")
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, params_template)
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.PyTreeRestore(
-                item={"params": abstract},
-                partial_restore=True,
-            ),
-        )
+
+        def to_abstract(x):
+            # accept both concrete arrays and jax.eval_shape outputs
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return x
+            return ocp.utils.to_shape_dtype_struct(x)
+
+        abstract = jax.tree.map(to_abstract, params_template)
+        # a dedicated manager: orbax binds an item to ONE handler type per
+        # manager instance, so mixing StandardSave (save/restore above) and
+        # PyTreeRestore on self._mgr raises "does not match any registered
+        # handler"
+        with ocp.CheckpointManager(self._dir) as mgr:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item={"params": abstract},
+                    partial_restore=True,
+                ),
+            )
         return restored["params"]
 
     def latest_step(self) -> Optional[int]:

@@ -17,10 +17,14 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/blockpuzzle_tpu/xla_cache")
 def enable_compilation_cache(path: str | None = None) -> str:
     # CPU programs compile fast and cached CPU executables are pinned to
     # the compile machine's ISA features (SIGILL risk on mismatch) — cache
-    # only accelerator platforms.  Uses the config value, NOT
-    # jax.default_backend(), to avoid initializing backends here.
-    platforms = jax.config.jax_platforms or ""
-    if platforms.split(",")[0] == "cpu":
+    # only when an accelerator platform is EXPLICITLY selected (config or
+    # env).  Uses the config value, NOT jax.default_backend(), to avoid
+    # initializing backends here; an unset platform could resolve to CPU,
+    # so it also skips.
+    platforms = (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "") or ""
+    )
+    if platforms.split(",")[0] in ("", "cpu"):
         return ""
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
     os.makedirs(path, exist_ok=True)

@@ -121,8 +121,14 @@ class BlockPuzzleVectorEnv(VectorEnv):
             "episode_return": np.asarray(ts.info["episode_return"]),
         }
         if done.any():
-            infos["final_board"] = np.asarray(ts.info["final_board"])
-            infos["final_queue"] = np.asarray(ts.info["final_queue"])
+            final_board = np.asarray(ts.info["final_board"])
+            final_queue = np.asarray(ts.info["final_queue"])
+            # gymnasium SAME_STEP convention key...
+            infos["final_obs"] = {"board": final_board, "queue": final_queue}
+            infos["_final_obs"] = done
+            # ...plus flat per-field arrays for vectorized consumers
+            infos["final_board"] = final_board
+            infos["final_queue"] = final_queue
             infos["_final_board"] = done
             infos["_final_queue"] = done
         return (

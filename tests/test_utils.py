@@ -173,3 +173,44 @@ def test_restore_params_across_optimizer_mismatch(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     mgr.close()
+
+
+def test_restore_params_on_used_manager(tmp_path):
+    """restore_params must work on a manager that already save()d (orbax
+    binds one handler type per manager; the fix uses a dedicated one)."""
+    ppo = small_ppo()
+    state = ppo.init(jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    params = mgr.restore_params(state.params)  # same instance: must not raise
+    a = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    mgr.close()
+
+
+def test_restore_params_from_eval_shape_template(tmp_path):
+    """The abstract (jax.eval_shape) template path used by cli.evaluate."""
+    ppo = small_ppo()
+    state = ppo.init(jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.close()
+    import jax.numpy as jnp2
+
+    cfg = ppo.env.cfg
+    template = jax.eval_shape(
+        ppo.net.init,
+        jax.random.key(0),
+        jnp2.zeros((1, cfg.height, cfg.width), jnp2.uint8),
+        jnp2.zeros((1, cfg.queue_size), jnp2.int32),
+        jnp2.zeros((1, cfg.num_actions()), bool),
+    )
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    params = mgr2.restore_params(template)
+    a = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    mgr2.close()
