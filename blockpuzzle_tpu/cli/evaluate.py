@@ -25,10 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="evaluate a trained policy")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--step", type=int, default=None, help="checkpoint step")
+    p.add_argument("--algo", choices=["ppo", "dqn"], default="ppo",
+                   help="which learner produced the checkpoint")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
-    p.add_argument("--num-envs", type=int, default=4096,
-                   help="must match the training num_envs (state template)")
-    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--steps", type=int, default=1024, help="eval env steps")
     p.add_argument("--greedy", action="store_true",
                    help="argmax policy instead of sampling")
@@ -44,11 +44,16 @@ def main(argv=None) -> int:
 
     env = make_env(PRESETS[args.preset]())
     cfg = env.cfg
-    ppo = PPO(env, PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len))
+    if args.algo == "ppo":
+        net = PPO(env, PPOConfig(num_envs=args.num_envs)).net
+    else:
+        from blockpuzzle_tpu.learn import DQN, DQNConfig
+
+        net = DQN(env, DQNConfig(num_envs=args.num_envs)).net
     # abstract params template via eval_shape — no device work, no env/opt
     # init (a full TrainState init costs minutes of remote compile here)
     params_template = jax.eval_shape(
-        ppo.net.init,
+        net.init,
         jax.random.key(0),
         jnp.zeros((1, cfg.height, cfg.width), jnp.uint8),
         jnp.zeros((1, cfg.queue_size), jnp.int32),
@@ -66,8 +71,10 @@ def main(argv=None) -> int:
         def body(carry, _):
             env_state, board, queue, mask, key = carry
             key, sub = jax.random.split(key)
-            logits, _ = ppo.net.apply(params, board, queue, mask)
-            if args.greedy:
+            out = net.apply(params, board, queue, mask)
+            # ActorCritic -> (logits, value); QNetwork -> masked q-values
+            logits = out[0] if isinstance(out, tuple) else out
+            if args.greedy or args.algo == "dqn":
                 a = jnp.argmax(logits, axis=-1)
             else:
                 a = jax.random.categorical(sub, logits, axis=-1)

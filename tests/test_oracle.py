@@ -171,3 +171,10 @@ def test_full_episode_terminates():
     # invariant: no recorded board ever holds a full row or column
     assert not traj.boards.all(axis=2).any()
     assert not traj.boards.all(axis=1).any()
+
+
+def test_gymnasium_env_checker_all_presets():
+    from gymnasium.utils.env_checker import check_env
+
+    for preset in (tenten_config(), woodoku_config()):
+        check_env(BlockPuzzleOracleEnv(preset), skip_render_check=True)
