@@ -12,20 +12,41 @@ vs_baseline divides by the 10M steps/s/chip north-star target from
 BASELINE.json — the reference publishes no numbers of its own
 (BASELINE.md: `published: {}`; single-env Python envs of this genre run
 ~1e4-1e5 steps/s, measured on stderr for context).
+
+Resilience (VERDICT.md round 1, item 1): the axon TPU tunnel wedges
+transiently for ~20-30 min (a mid-compile kill or a sick tunnel hangs
+device init — exactly how BENCH_r01 recorded rc=1 for a 10.8x-target
+result).  All device work therefore runs in SUBPROCESSES so a hang is a
+timeout, not a lost round:
+
+  * parent process never touches the TPU (the oracle bench is numpy-only);
+  * a tiny health-check matmul subprocess gates the real bench, retried
+    with backoff across the tunnel's self-recovery window;
+  * the bench worker subprocess gets a generous timeout and a retry;
+  * on unrecoverable failure the JSON line still prints (value 0 +
+    "error" field) and the exit code is 0.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import subprocess
 import sys
 import time
 
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
 NUM_ENVS = 32768                   # best measured batch (docs/RESULTS.md)
 CHUNK = 400                        # long chunks amortize dispatch latency
-ITERS = 3
-WINDOWS = 3                        # report the best window (tunnel jitter)
+ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
+WINDOWS = 5                        # median window is the headline (robust
+                                   # to tunnel jitter in both directions)
+
+HEALTH_TIMEOUT_S = 180             # tiny matmul on a healthy tunnel: ~2 s
+WORKER_TIMEOUT_S = 1800            # covers a cold-cache remote compile
+DEVICE_BUDGET_S = 55 * 60          # total wall budget for the device phase
+                                   # (tunnel self-recovers in ~20-30 min)
+BACKOFF_S = (30, 60, 120, 240, 300)
 
 
 def bench_oracle(max_steps: int = 2000) -> float:
@@ -84,19 +105,124 @@ def bench_device() -> float:
         )
         return state, mask, key, r.sum()
 
+    # TIMING BARRIER: on the axon tunnel, block_until_ready returns as soon
+    # as the work is ENQUEUED (measured 2026-08-17: dispatch 0.3 ms, "block"
+    # 0.2 ms, device_get 215 s draining the real work) — it is NOT a
+    # completion barrier.  Every window below must end in a device_get
+    # (float()) of a value that depends on the whole program.
     out = chunk(state, ts.action_mask, policy_key)  # compile + warmup
-    jax.block_until_ready(out)
-    state, mask, key, _ = out
-    best = 0.0
+    state, mask, key, r = out
+    float(r)  # drain compile + warmup before the timed windows
+    rates = []
     for w in range(WINDOWS):
         t0 = time.time()
         for _ in range(ITERS):
             state, mask, key, r = chunk(state, mask, key)
-        jax.block_until_ready(r)
+        float(r)  # completion barrier (see note above)
         rate = ITERS * CHUNK * NUM_ENVS / (time.time() - t0)
         print(f"[bench] window {w}: {rate / 1e6:.2f}M steps/s", file=sys.stderr)
-        best = max(best, rate)
-    return best
+        rates.append(rate)
+    rates.sort()
+    median = rates[len(rates) // 2]
+    print(
+        f"[bench] median {median / 1e6:.2f}M, best {rates[-1] / 1e6:.2f}M "
+        f"steps/s over {WINDOWS} windows",
+        file=sys.stderr,
+    )
+    return median
+
+
+def _health_main() -> int:
+    """Subprocess body: tiny matmul proves the TPU tunnel is alive."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    y = jax.jit(lambda a: (a @ a).sum())(x)
+    # device_get, NOT block_until_ready: the latter only waits for enqueue
+    # on the axon tunnel, so it would "pass" on a wedged device
+    assert float(y) == 128.0 * 128 * 128
+    print(f"[health] ok on {jax.devices()[0].platform}", file=sys.stderr)
+    return 0
+
+
+def _worker_main() -> int:
+    """Subprocess body: the real device bench; prints one JSON line."""
+    value = bench_device()
+    print(json.dumps({"value": value}))
+    return 0
+
+
+def _run_sub(flag: str, timeout: float) -> "subprocess.CompletedProcess | None":
+    """Run `python bench.py <flag>` with a timeout; None on timeout."""
+    try:
+        return subprocess.run(
+            [sys.executable, __file__, flag],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            timeout=timeout,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] {flag} timed out after {timeout:.0f}s", file=sys.stderr)
+        return None
+
+
+def _device_value_resilient() -> "tuple[float, str | None]":
+    """(steps/s, error) — orchestrates health + worker subprocesses."""
+    deadline = time.time() + DEVICE_BUDGET_S
+    backoff = iter(BACKOFF_S)
+    last_err = "device bench never attempted"
+    healthy = False
+    while time.time() < deadline:
+        if not healthy:
+            r = _run_sub("--health", HEALTH_TIMEOUT_S)
+            if r is None or r.returncode != 0:
+                last_err = (
+                    "health check timed out"
+                    if r is None
+                    else f"health check rc={r.returncode}"
+                )
+                wait = next(backoff, BACKOFF_S[-1])
+                if time.time() + wait >= deadline:
+                    break
+                print(
+                    f"[bench] tunnel unhealthy ({last_err}); "
+                    f"retrying in {wait}s",
+                    file=sys.stderr,
+                )
+                time.sleep(wait)
+                continue
+            healthy = True
+        budget = min(WORKER_TIMEOUT_S, deadline - time.time())
+        if budget < 60:
+            last_err = "device budget exhausted before worker could run"
+            break
+        r = _run_sub("--device-worker", budget)
+        if r is not None and r.returncode == 0:
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    return float(json.loads(line)["value"]), None
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    continue
+            last_err = "worker produced no parseable JSON"
+        else:
+            last_err = (
+                "worker timed out"
+                if r is None
+                else f"worker rc={r.returncode}"
+            )
+        # a worker failure may itself have wedged the tunnel: re-health
+        healthy = False
+        wait = next(backoff, BACKOFF_S[-1])
+        if time.time() + wait >= deadline:
+            break
+        print(
+            f"[bench] worker failed ({last_err}); retrying in {wait}s",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+    return 0.0, last_err
 
 
 def main() -> int:
@@ -105,24 +231,29 @@ def main() -> int:
         f"[bench] oracle single-env: {oracle_sps:,.0f} steps/s (1 CPU core)",
         file=sys.stderr,
     )
-    value = bench_device()
-    print(
-        f"[bench] device batched: {value / 1e6:.2f}M steps/s "
-        f"({value / oracle_sps:,.0f}x oracle)",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_s_per_chip",
-                "value": round(value),
-                "unit": "steps/s",
-                "vs_baseline": round(value / BASELINE_STEPS_PER_S, 3),
-            }
+    value, error = _device_value_resilient()
+    if error is None:
+        print(
+            f"[bench] device batched: {value / 1e6:.2f}M steps/s "
+            f"({value / oracle_sps:,.0f}x oracle)",
+            file=sys.stderr,
         )
-    )
+    result = {
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(value),
+        "unit": "steps/s",
+        "vs_baseline": round(value / BASELINE_STEPS_PER_S, 3),
+    }
+    if error is not None:
+        result["error"] = error
+    print(json.dumps(result))
+    sys.stdout.flush()
     return 0
 
 
 if __name__ == "__main__":
+    if "--health" in sys.argv:
+        raise SystemExit(_health_main())
+    if "--device-worker" in sys.argv:
+        raise SystemExit(_worker_main())
     raise SystemExit(main())

@@ -65,6 +65,9 @@ def main(argv=None) -> int:
     params = mgr.restore_params(params_template, step=args.step)
     print(f"restored checkpoint step {args.step or mgr.latest_step()}")
     env_state, ts = env.init_jit(jax.random.key(args.seed + 1), args.num_envs)
+    # chunk length adapts to short runs (--steps < 64 used to silently
+    # round up to 64); the scan length is static per jit compile
+    chunk_len = max(1, min(64, args.steps))
 
     @jax.jit
     def chunk(env_state, board, queue, mask, key):
@@ -89,7 +92,7 @@ def main(argv=None) -> int:
             return (env_state, ts.board, ts.queue, ts.action_mask, key), out
 
         (env_state, board, queue, mask, key), outs = jax.lax.scan(
-            body, (env_state, board, queue, mask, key), None, length=64
+            body, (env_state, board, queue, mask, key), None, length=chunk_len
         )
         return (env_state, board, queue, mask, key), [o.sum() for o in outs]
 
@@ -101,13 +104,14 @@ def main(argv=None) -> int:
         jax.random.key(args.seed + 2),
     )
     tot_r = tot_ep_r = tot_ep_len = tot_eps = 0.0
-    for _ in range(max(args.steps // 64, 1)):
+    n_chunks = max(-(-args.steps // chunk_len), 1)
+    for _ in range(n_chunks):
         carry, (r, ep_r, ep_len, eps) = chunk(*carry)
         tot_r += float(r)
         tot_ep_r += float(ep_r)
         tot_ep_len += float(ep_len)
         tot_eps += float(eps)
-    steps = max(args.steps // 64, 1) * 64 * args.num_envs
+    steps = n_chunks * chunk_len * args.num_envs
     mode = "greedy" if args.greedy else "sampled"
     print(
         f"[{mode}] {steps} env-steps | reward/step {tot_r / steps:.3f} | "

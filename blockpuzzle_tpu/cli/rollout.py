@@ -87,14 +87,17 @@ def run_batched(args) -> int:
     mask = ts.action_mask
     # warmup chunk: compiles the program and arms the throughput meter, so
     # even a single measured chunk reports a real steady-state rate
-    state, mask, key, _ = chunk(state, mask, key)
-    jax.block_until_ready(mask)
+    state, mask, key, (r0, _, _) = chunk(state, mask, key)
+    # device_get barrier: on the axon tunnel block_until_ready only waits
+    # for ENQUEUE, not completion (see bench.py) — timing with it measures
+    # dispatch latency, not the rollout
+    float(r0)
     meter.tick(0)
     total_r = total_ep_r = total_eps = 0.0
     chunks = max(round(args.steps / 100), 1)
     for i in range(chunks):
         state, mask, key, (r, ep_r, eps) = chunk(state, mask, key)
-        jax.block_until_ready(r)
+        float(r)  # completion barrier before the throughput tick
         sps = meter.tick(100 * args.num_envs)
         total_r += float(r)
         total_ep_r += float(ep_r)

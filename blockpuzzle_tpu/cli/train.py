@@ -119,11 +119,16 @@ def main(argv=None) -> int:
             jax.profiler.start_trace(args.profile_dir)
             profiling_active = True
         state, metrics = step_fn(state)
+        # device_get, not block_until_ready: on the axon tunnel the latter
+        # returns at enqueue time (see bench.py), which would let the host
+        # race arbitrarily far ahead of the device and corrupt the
+        # throughput meter (and trace windows)
+        loss_host = float(
+            metrics["loss"] if "loss" in metrics else metrics["episode_return"]
+        )
         if profiling_active and (update >= start + 4 or update == args.updates - 1):
-            jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
             profiling_active = False
-        jax.block_until_ready(metrics["loss"] if "loss" in metrics else metrics)
         sps = meter.tick(steps_per_call)
         if (update + 1) % args.log_every == 0 or update == start:
             metrics = dict(metrics)

@@ -41,6 +41,9 @@ def param_spec(params: Any) -> Any:
     flat = traverse_util.flatten_dict(params, sep="/")
     specs = {}
     for path, leaf in flat.items():
+        # nn.with_partitioning boxes kernels in flax Partitioned (no .ndim);
+        # look through the box or every tp-flagged leaf silently gets P()
+        leaf = getattr(leaf, "value", leaf)
         spec = P()
         if hasattr(leaf, "ndim") and leaf.ndim > 1:
             for rule, s in PARAM_RULES:

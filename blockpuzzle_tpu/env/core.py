@@ -72,7 +72,13 @@ class VecBlockPuzzle:
         self.empty_id = t.num_pieces
         self.num_actions = cfg.num_actions()
 
-        # Constant device tables (become jit-time constants via closure).
+        # Constant tables, kept as HOST numpy arrays (become jit-time
+        # constants via closure).  Host-resident deliberately: jit lowering
+        # embeds numpy constants into the program with zero device IO,
+        # whereas device-resident (jnp) constants must be copied BACK to
+        # host during lowering (_array_mlir_constant_handler) — a pointless
+        # device->host round trip that also wedged BENCH_r01 when the axon
+        # tunnel was sick (VERDICT.md round 1, weak #2).
         #
         # GATHER-FREE HOT PATH: profiling on the v5e showed the step time
         # dominated not by the MXU matmul (46us) but by row gathers
@@ -86,9 +92,9 @@ class VecBlockPuzzle:
         #   * per-hand action mask <- static P-slice select over the counts
         #     matmul output (bf16 end to end, no f32 round trip)
         #   * empty-board mask (auto-reset) <- one-hot @ valid-anchor table
-        self._cover_u8 = jnp.asarray(t.cover, dtype=jnp.uint8)           # (P*HW, HW)
-        self._cover_t_bf16 = jnp.asarray(t.cover.T, dtype=jnp.bfloat16)  # (HW, P*HW)
-        self._valid = jnp.asarray(t.valid)                               # (P*HW,)
+        self._cover_u8 = np.asarray(t.cover, dtype=np.uint8)             # (P*HW, HW)
+        self._cover_t_bf16 = np.asarray(t.cover.T, dtype=jnp.bfloat16)   # (HW, P*HW)
+        self._valid = np.asarray(t.valid)                                # (P*HW,)
         # attrs rows: [h, w, cells, dr1, dc1, h1, w1, dr2, dc2, h2, w2]
         attrs = np.concatenate(
             [
@@ -99,24 +105,24 @@ class VecBlockPuzzle:
             ],
             axis=1,
         ).astype(np.float32)
-        self._attrs = jnp.asarray(attrs, dtype=jnp.bfloat16)             # (P, 11)
+        self._attrs = np.asarray(attrs, dtype=jnp.bfloat16)              # (P, 11)
         # counts adjustment: +1024 on out-of-bounds anchors so the fused
         # "counts_adj == 0" test encodes legality AND validity (1024 and
         # all counts <= 9 are exact in bf16)
-        self._counts_adj = jnp.asarray(
+        self._counts_adj = np.asarray(
             np.where(t.valid, 0.0, 1024.0)[None, :], dtype=jnp.bfloat16
         )                                                                # (1, P*HW)
         # Legal anchors on an EMPTY board, per piece (bf16 for the one-hot
         # matmul selection used by auto-reset / init).
-        self._empty_legal = jnp.asarray(
+        self._empty_legal = np.asarray(
             t.valid.reshape(t.num_pieces, cfg.num_cells)
         )                                                                # (P, HW)
         self._empty_legal_bf16 = self._empty_legal.astype(jnp.bfloat16)
         # flat cell index -> (row, col), as (1, HW) constants
         cells = np.arange(cfg.num_cells, dtype=np.int32)
-        self._row_idx = jnp.asarray((cells // cfg.width)[None, :])       # (1, HW)
-        self._col_idx = jnp.asarray((cells % cfg.width)[None, :])        # (1, HW)
-        self._piece_iota = jnp.arange(t.num_pieces, dtype=jnp.int32)     # (P,)
+        self._row_idx = np.asarray((cells // cfg.width)[None, :])        # (1, HW)
+        self._col_idx = np.asarray((cells % cfg.width)[None, :])         # (1, HW)
+        self._piece_iota = np.arange(t.num_pieces, dtype=np.int32)       # (P,)
         # clear-scan line tables: rows + cols (+ regions) in ONE stack, so
         # full-line detection is two tiny matmuls on flat boards (no
         # (N, H, W) reshape relayouts in the hot loop)
@@ -124,12 +130,12 @@ class VecBlockPuzzle:
         if cfg.region_clear:
             line_parts.append(t.region_masks)
         line_masks = np.concatenate(line_parts, axis=0)       # (L, HW)
-        self._line_masks_bf16 = jnp.asarray(line_masks, dtype=jnp.bfloat16)
-        self._line_masks_t_bf16 = jnp.asarray(
+        self._line_masks_bf16 = np.asarray(line_masks, dtype=jnp.bfloat16)
+        self._line_masks_t_bf16 = np.asarray(
             line_masks.T, dtype=jnp.bfloat16
         )
-        self._line_sizes = jnp.asarray(
-            line_masks.sum(axis=1)[None, :], dtype=jnp.float32
+        self._line_sizes = np.asarray(
+            line_masks.sum(axis=1)[None, :], dtype=np.float32
         )                                                      # (1, L)
 
         if backend in ("pallas", "hybrid"):

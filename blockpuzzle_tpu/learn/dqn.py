@@ -76,6 +76,11 @@ class DQNState:
 
 class DQN:
     def __init__(self, env: VecBlockPuzzle, cfg: Optional[DQNConfig] = None):
+        if env.num_pieces >= 256:
+            raise ValueError(
+                f"packed-u8 replay stores piece ids as uint8; "
+                f"piece library has {env.num_pieces} >= 256 pieces"
+            )
         self.env = env
         self.cfg = cfg or DQNConfig()
         self.net = QNetwork(

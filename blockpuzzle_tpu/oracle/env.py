@@ -201,6 +201,15 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+        """Gymnasium reset.  ``options`` may override the fresh state:
+
+          * ``options["board"]``: (H, W) 0/1 array — initial occupancy
+            (replaces the empty board).
+          * ``options["queue"]``: (S,) piece ids (``num_pieces`` = empty
+            slot) — initial hand (replaces the dealt one; the RNG deal
+            draws still happen first, so the deal stream is independent of
+            whether an override is supplied).
+        """
         super().reset(seed=seed)
         if seed is not None:
             self._rng = random.Random(seed)
@@ -210,6 +219,28 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
         self.steps = 0
         self.lines_cleared_total = 0
         self._refill()
+        if options:
+            unknown = set(options) - {"board", "queue"}
+            if unknown:
+                raise ValueError(f"unknown reset options: {sorted(unknown)}")
+            if "board" in options:
+                board = np.asarray(options["board"], dtype=np.uint8)
+                if board.shape != self.board.shape:
+                    raise ValueError(
+                        f"options['board'] shape {board.shape} != "
+                        f"{self.board.shape}"
+                    )
+                self.board[:] = board
+            if "queue" in options:
+                queue = np.asarray(options["queue"], dtype=np.int32)
+                if queue.shape != self.queue.shape:
+                    raise ValueError(
+                        f"options['queue'] shape {queue.shape} != "
+                        f"{self.queue.shape}"
+                    )
+                if np.any((queue < 0) | (queue > self._empty_id)):
+                    raise ValueError("options['queue'] ids out of range")
+                self.queue[:] = queue
         return self._get_obs(), self._get_info()
 
     def step(

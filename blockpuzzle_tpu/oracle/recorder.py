@@ -62,9 +62,15 @@ def record_trajectory(
     max_steps: int = 512,
     policy_seed: Optional[int] = None,
 ) -> Trajectory:
-    """Roll out one episode with a seeded uniform-legal random policy."""
+    """Roll out one episode with a seeded uniform-legal random policy.
+
+    The policy stream defaults to ``seed + 1`` so it is decorrelated from
+    the env's deal stream (two ``random.Random(seed)`` instances emit
+    identical sequences, which narrows trajectory diversity — VERDICT.md
+    round 1, weak #6).
+    """
     env = RecordingOracle(cfg)
-    policy_rng = random.Random(seed if policy_seed is None else policy_seed)
+    policy_rng = random.Random(seed + 1 if policy_seed is None else policy_seed)
 
     obs, info = env.reset(seed=seed)
     init_deals = np.array(env.deal_log, dtype=np.int32)

@@ -73,5 +73,7 @@ class Throughput:
             self._steps = 0
             return 0.0
         self._steps += env_steps
-        self.value = self._steps / (now - self._t)
+        # two ticks within timer resolution (tiny debug runs) must not
+        # divide by ~0
+        self.value = self._steps / max(now - self._t, 1e-9)
         return self.value

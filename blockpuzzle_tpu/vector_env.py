@@ -11,6 +11,14 @@ reset observation — the convention of JAX env suites); the pre-reset
 observation is exposed as ``infos["final_board"]`` / ``infos["final_queue"]``
 with the standard gymnasium ``_final_board`` presence mask.
 
+Documented deviation from gymnasium's SAME_STEP convention:
+``infos["final_obs"]`` is a dict of BATCHED arrays (``{"board": (N, H, W),
+"queue": (N, S)}``) rather than a ``(N,)`` object array of per-env obs
+dicts.  Batched arrays are the only layout that stays a single device
+transfer; generic wrappers that index ``final_obs[i]`` should use
+``{k: v[i] for k, v in infos["final_obs"].items()}`` (or the flat
+``final_board``/``final_queue`` fields).
+
 Registered so that ``gymnasium.make_vec("BlockPuzzleTpu/BlockPuzzle-v0",
 num_envs=N)`` returns this class.
 """
@@ -79,6 +87,10 @@ class BlockPuzzleVectorEnv(VectorEnv):
         self._last_ts = None
         # plain jit (no donation): callers may hold references across steps
         self._step_fn = jax.jit(lambda st, a: self.engine.step(st, a))
+        # mask recompute for reset(options=...) state overrides
+        self._mask_fn = jax.jit(
+            lambda b, q: self.engine.action_mask(b, q)
+        )
 
     # ------------------------------------------------------------------
 
@@ -100,6 +112,36 @@ class BlockPuzzleVectorEnv(VectorEnv):
         # jitted init: eager init dispatches hundreds of tiny remote
         # compiles on the tunnel platform (minutes instead of seconds)
         self._state, ts = self.engine.init_jit(key, self.num_envs)
+        if options:
+            # batched analogue of the oracle's reset options: override the
+            # fresh boards and/or hands, then recompute the legal mask
+            unknown = set(options) - {"board", "queue"}
+            if unknown:
+                raise ValueError(f"unknown reset options: {sorted(unknown)}")
+            board, queue = self._state.board, self._state.queue
+            if "board" in options:
+                board = jnp.asarray(
+                    np.asarray(options["board"], dtype=np.uint8).reshape(
+                        self.num_envs, self.cfg.num_cells
+                    )
+                )
+            if "queue" in options:
+                queue = jnp.asarray(
+                    np.asarray(options["queue"], dtype=np.int32)
+                )
+                if queue.shape != (self.num_envs, self.cfg.queue_size):
+                    raise ValueError(
+                        f"options['queue'] shape {queue.shape} != "
+                        f"{(self.num_envs, self.cfg.queue_size)}"
+                    )
+            self._state = self._state.replace(board=board, queue=queue)
+            ts = ts.replace(
+                board=board.reshape(
+                    self.num_envs, self.cfg.height, self.cfg.width
+                ),
+                queue=queue,
+                action_mask=self._mask_fn(board, queue),
+            )
         self._last_ts = ts
         infos = {"action_mask": np.asarray(ts.action_mask)}
         return self._obs(ts), infos

@@ -81,12 +81,12 @@ def main() -> int:
             return state, mask, key, r.sum()
 
         out = chunk(state, mask, jax.random.key(1))
-        jax.block_until_ready(out)
-        state, mask, key, _ = out
+        state, mask, key, r = out
+        float(r)  # device_get barrier (axon block_until_ready = enqueue only)
         t0 = time.time()
         for _ in range(args.iters):
             state, mask, key, r = chunk(state, mask, key)
-        jax.block_until_ready(r)
+        float(r)
         sps = args.iters * args.chunk * n / (time.time() - t0)
         results[nd] = sps
         base = results[sizes[0]] * nd / sizes[0]

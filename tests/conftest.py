@@ -31,3 +31,21 @@ def rng():
 def _verify_cpu_backend():
     assert jax.default_backend() == "cpu"
     assert jax.device_count() == 8
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _reference_resurvey_tripwire():
+    """SURVEY.md §0 protocol: all parity claims target the in-repo oracle
+    because /root/reference was EMPTY at survey time.  If the mount is ever
+    populated, that premise is void — fail loudly so the next session
+    re-surveys and reconciles every VERIFY tag in SURVEY.md §2.1 before
+    trusting any parity result."""
+    ref = "/root/reference"
+    if os.path.isdir(ref) and os.listdir(ref):
+        pytest.fail(
+            f"{ref} is now NON-EMPTY ({len(os.listdir(ref))} entries) but "
+            "the oracle spec was built against an empty mount — re-survey "
+            "required (SURVEY.md §0, VERDICT.md round 1 missing #4) before "
+            "any parity claim is valid.",
+            pytrace=False,
+        )

@@ -1,0 +1,76 @@
+"""bench.py driver-contract tests (VERDICT.md round 1, item 1).
+
+The scored artifact must NEVER be a crash: whatever the tunnel does, main()
+prints exactly one JSON line with the contract fields and exits 0.  Device
+subprocesses are stubbed here — hardware behavior is exercised on the TPU
+separately (docs/RESULTS.md).
+"""
+
+import io
+import json
+import subprocess
+import sys
+import types
+
+import pytest
+
+import bench
+
+
+class _Result:
+    def __init__(self, rc, stdout=""):
+        self.returncode = rc
+        self.stdout = stdout
+
+
+def test_resilient_orchestration_recovers(monkeypatch):
+    """health fails once (wedged tunnel), then health+worker succeed."""
+    calls = []
+
+    def fake_run(flag, timeout):
+        calls.append(flag)
+        if flag == "--health":
+            return _Result(1) if calls.count("--health") == 1 else _Result(0)
+        return _Result(0, stdout='{"value": 123456789.0}\n')
+
+    monkeypatch.setattr(bench, "_run_sub", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    value, error = bench._device_value_resilient()
+    assert value == 123456789.0 and error is None
+    assert calls == ["--health", "--health", "--device-worker"]
+
+
+def test_resilient_orchestration_rehealths_after_worker_failure(monkeypatch):
+    seq = iter(
+        [_Result(0), None, _Result(0), _Result(0, '{"value": 5e7}\n')]
+    )
+    monkeypatch.setattr(bench, "_run_sub", lambda f, t: next(seq))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    value, error = bench._device_value_resilient()
+    assert value == 5e7 and error is None
+
+
+def test_main_prints_error_json_on_total_failure(monkeypatch, capsys):
+    """Unrecoverable tunnel: still rc=0 with a parseable JSON line."""
+    monkeypatch.setattr(bench, "_run_sub", lambda f, t: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # shrink the device budget so the retry loop exits immediately (with
+    # sleep stubbed out the full 55-min budget would busy-spin)
+    monkeypatch.setattr(bench, "DEVICE_BUDGET_S", 1)
+    monkeypatch.setattr(bench, "bench_oracle", lambda: 10_000.0)
+    rc = bench.main()
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["metric"] == "env_steps_per_s_per_chip"
+    assert parsed["value"] == 0
+    assert "error" in parsed
+
+
+def test_worker_json_is_last_line_parseable(monkeypatch):
+    """Stray stdout noise before the JSON line must not break parsing."""
+    out = "some warning\nnot json\n" + json.dumps({"value": 2e7}) + "\n"
+    seq = iter([_Result(0), _Result(0, out)])
+    monkeypatch.setattr(bench, "_run_sub", lambda f, t: next(seq))
+    value, error = bench._device_value_resilient()
+    assert value == 2e7 and error is None

@@ -101,6 +101,64 @@ def test_tp2_mesh_shards_dense_kernel():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_sharded_ppo_update_matches_unsharded():
+    """The mesh-sharded update equals the single-device update to float
+    tolerance (reduction reorder only) — the dryrun's equivalence check,
+    mirrored in CI (VERDICT.md round 1, weak #5)."""
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=16, rollout_len=4, hidden=32,
+                             channels=(8,), num_epochs=1, num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    shardings = dist.to_named(mesh, dist.train_state_spec(state))
+    update = jax.jit(ppo.update)
+    sharded_out, m_sharded = update(jax.device_put(state, shardings))
+    single_out, m_single = update(jax.device_put(state, jax.devices()[0]))
+    for k in ("loss", "policy_loss", "value_loss", "entropy"):
+        np.testing.assert_allclose(
+            float(m_sharded[k]), float(m_single[k]), rtol=1e-3, atol=1e-5
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        sharded_out.params,
+        single_out.params,
+    )
+
+
+def test_sharded_dqn_iteration_runs_on_mesh():
+    from blockpuzzle_tpu.learn import DQN, DQNConfig
+
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    dqn = DQN(env, DQNConfig(num_envs=16, buffer_size=256, batch_size=8,
+                             collect_steps=2, min_buffer=4, hidden=32,
+                             channels=(8,)))
+    state = dqn.init(jax.random.key(1))
+    shardings = dist.to_named(mesh, dist.train_state_spec(state))
+    state = jax.device_put(state, shardings)
+    state2, metrics = jax.jit(dqn.iteration, donate_argnums=(0,))(state)
+    assert int(metrics["buffer_filled"]) == 32  # 2 steps x 16 envs
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.iter_count) == 1
+
+
+def test_param_spec_applies_rules_to_boxed_kernels():
+    """param_spec must look through flax Partitioned boxes (ADVICE.md:
+    boxed kernels lack .ndim and previously fell through to P())."""
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4, hidden=64,
+                             channels=(8,), num_epochs=1, num_minibatches=2))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.param_spec(state.params)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(spec, sep="/")
+    torso = [k for k in flat if "Torso_0/Dense_0/kernel" in k]
+    assert torso and all(flat[k] == P(None, "tp") for k in torso), flat
+
+
 def test_param_rules_shard_head_kernels():
     """The row-parallel head rule must actually match the flax param paths
     (Partitioned-boxed kernels flatten with a trailing /value element)."""

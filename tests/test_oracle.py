@@ -178,3 +178,46 @@ def test_gymnasium_env_checker_all_presets():
 
     for preset in (tenten_config(), woodoku_config()):
         check_env(BlockPuzzleOracleEnv(preset), skip_render_check=True)
+
+
+def test_reset_options_override_board_and_queue():
+    env = BlockPuzzleOracleEnv(default_config())
+    board = np.zeros((10, 10), dtype=np.uint8)
+    board[0, :9] = 1
+    obs, info = env.reset(seed=0, options={"board": board, "queue": [0]})
+    np.testing.assert_array_equal(obs["board"], board)
+    np.testing.assert_array_equal(obs["queue"], [0])
+    # piece 0 is the 1x1: placing it at (0, 9) completes and clears row 0
+    obs, r, term, trunc, info = env.step(9)
+    assert info["lines_cleared"] == 1
+    assert obs["board"][0].sum() == 0
+
+
+def test_reset_options_rejects_bad_input():
+    env = BlockPuzzleOracleEnv(default_config())
+    with pytest.raises(ValueError):
+        env.reset(options={"nope": 1})
+    with pytest.raises(ValueError):
+        env.reset(options={"board": np.zeros((3, 3), np.uint8)})
+    with pytest.raises(ValueError):
+        env.reset(options={"queue": [999]})
+
+
+def test_reset_options_do_not_change_deal_stream():
+    """The RNG draws happen before the override, so seeded determinism of
+    the subsequent deal stream is unaffected by options."""
+    env_a = BlockPuzzleOracleEnv(default_config())
+    env_b = BlockPuzzleOracleEnv(default_config())
+    env_a.reset(seed=5)
+    env_b.reset(seed=5, options={"queue": [0]})
+    assert env_a._deal() == env_b._deal()
+
+
+def test_recorder_policy_stream_decorrelated_from_deals():
+    """Default policy seed is seed+1: explicit policy_seed=seed must give
+    the OLD correlated behavior, and differ from the new default."""
+    a = record_trajectory(default_config(), seed=3, max_steps=64)
+    b = record_trajectory(default_config(), seed=3, max_steps=64, policy_seed=4)
+    np.testing.assert_array_equal(a.actions, b.actions)
+    c = record_trajectory(default_config(), seed=3, max_steps=64, policy_seed=3)
+    assert len(a.actions) != len(c.actions) or (a.actions != c.actions).any()

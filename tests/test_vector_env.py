@@ -78,3 +78,27 @@ def test_vector_render_rgb():
     img = env.render()
     assert img is not None and img.ndim == 3 and img.dtype == np.uint8
     env.close()
+
+
+def test_vector_reset_options_override_state():
+    env = BlockPuzzleVectorEnv(num_envs=4, cfg=default_config())
+    boards = np.zeros((4, 10, 10), dtype=np.uint8)
+    boards[:, 0, :9] = 1
+    queues = np.zeros((4, 1), dtype=np.int32)  # piece 0 = 1x1
+    obs, infos = env.reset(seed=0, options={"board": boards, "queue": queues})
+    np.testing.assert_array_equal(obs["board"], boards)
+    np.testing.assert_array_equal(obs["queue"], queues)
+    # the recomputed mask must forbid the occupied cells
+    assert not infos["action_mask"][:, :9].any()
+    # completing row 0 clears it in every env
+    obs, rewards, term, trunc, infos = env.step(np.full(4, 9))
+    assert (infos["lines_cleared"] == 1).all()
+    assert (obs["board"][:, 0].sum(axis=-1) == 0).all()
+    env.close()
+
+
+def test_vector_reset_options_rejects_unknown():
+    env = BlockPuzzleVectorEnv(num_envs=2, cfg=default_config())
+    with pytest.raises(ValueError):
+        env.reset(seed=0, options={"bogus": 1})
+    env.close()
