@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
-from blockpuzzle_tpu.learn.networks import NEG_INF, QNetwork
+from blockpuzzle_tpu.learn.networks import NEG_INF, QNetwork, select_along_last
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +111,12 @@ class DQN:
             filled=jnp.zeros((), jnp.int32),
         )
         del ts
+        # fast rbg PRNG for epsilon-greedy sampling (see PPO.init note)
+        k_run = jax.jit(
+            lambda k: jax.random.key(
+                jax.random.bits(k, (), dtype=jnp.uint32), impl="rbg"
+            )
+        )(k_run)
         return DQNState(
             params=params,
             # deep copy: sharing buffers with params would make state
@@ -214,7 +220,7 @@ class DQN:
             sample["queue"],
             sample["action_mask"],
         )
-        q_sa = jnp.take_along_axis(q, sample["action"][:, None], axis=1)[:, 0]
+        q_sa = select_along_last(q, sample["action"])  # gather-free (CLAUDE.md)
         # Double DQN: online net argmax, target net evaluation
         next_board = sample["next_board"].reshape(-1, h, w)
         q_next_online = self.net.apply(
@@ -224,7 +230,7 @@ class DQN:
         q_next_target = self.net.apply(
             target_params, next_board, sample["next_queue"], sample["next_mask"]
         )
-        q_next = jnp.take_along_axis(q_next_target, a_star[:, None], axis=1)[:, 0]
+        q_next = select_along_last(q_next_target, a_star)
         # terminal states (no legal action) bootstrap to 0
         q_next = jnp.where(sample["terminated"], 0.0, q_next)
         target = sample["reward"] + cfg.gamma * q_next

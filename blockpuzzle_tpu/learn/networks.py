@@ -133,9 +133,25 @@ def masked_categorical(key: jax.Array, logits: jax.Array) -> jax.Array:
     return jax.random.categorical(key, logits, axis=-1)
 
 
+def select_along_last(values: jax.Array, index: jax.Array) -> jax.Array:
+    """``values[..., index]`` without a gather.
+
+    ``jnp.take_along_axis`` lowers to a scalar-core gather on TPU
+    (~100-130 us per 16K rows — see docs/ARCHITECTURE.md); the hot-path rule
+    (CLAUDE.md) is one-hot select instead, which XLA fuses into the
+    surrounding elementwise work on the VPU.
+    """
+    iota = jax.lax.broadcasted_iota(
+        index.dtype, values.shape, len(values.shape) - 1
+    )
+    return jnp.sum(
+        jnp.where(iota == index[..., None], values, 0.0), axis=-1
+    )
+
+
 def log_prob(logits: jax.Array, action: jax.Array) -> jax.Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return jnp.take_along_axis(logp, action[..., None], axis=-1)[..., 0]
+    return select_along_last(logp, action)
 
 
 def masked_entropy(logits: jax.Array) -> jax.Array:

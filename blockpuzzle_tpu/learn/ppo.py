@@ -41,6 +41,14 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     num_epochs: int = 2
     num_minibatches: int = 4
+    # Minibatch shuffle scheme.  "roll": one random rotation of the flat
+    # (T*N) batch per epoch, then contiguous minibatch slices — each
+    # minibatch still spans T/num_minibatches timesteps of ALL N independent
+    # envs, and the whole scheme is gather-free.  "perm": classic random
+    # permutation; its per-minibatch row gathers run on the TPU scalar core
+    # and cost ~27% of the whole update (measured 247.7 -> 181.1 ms,
+    # scripts/profile_ppo.py, N=4096 x T=64 on v5e).  "none": debugging.
+    shuffle: str = "roll"
     anneal_updates: int = 0  # >0: linear LR decay to 0 over this many updates
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
@@ -122,6 +130,14 @@ class PPO:
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )
         opt_state = self.tx.init(params)
+        # re-root the run key under the fast rbg PRNG (same trick as
+        # VecBlockPuzzle.init): action sampling happens every rollout step
+        # and rbg is ~25% cheaper than threefry on v5e (docs/ARCHITECTURE.md)
+        k_run = jax.jit(
+            lambda k: jax.random.key(
+                jax.random.bits(k, (), dtype=jnp.uint32), impl="rbg"
+            )
+        )(k_run)
         return TrainState(
             params=params,
             opt_state=opt_state,
@@ -301,25 +317,54 @@ class PPO:
 
         def epoch(carry, _):
             params, opt_state, key = carry
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, total)
+            key, k_shuf = jax.random.split(key)
 
-            def minibatch_step(carry, idx):
+            if cfg.shuffle == "perm":
+                perm = jax.random.permutation(k_shuf, total)
+                idxs = perm[: mb_size * cfg.num_minibatches].reshape(
+                    cfg.num_minibatches, mb_size
+                )
+
+                def get_mb(i):
+                    take = lambda x: jnp.take(x, idxs[i], axis=0)
+                    return (
+                        jax.tree.map(take, batch_flat),
+                        take(adv_flat),
+                        take(ret_flat),
+                    )
+
+            else:
+                if cfg.shuffle == "roll":
+                    shift = jax.random.randint(k_shuf, (), 0, total)
+                    reorder = lambda x: jnp.roll(x, shift, axis=0)
+                elif cfg.shuffle == "none":
+                    reorder = lambda x: x
+                else:
+                    raise ValueError(f"unknown shuffle {cfg.shuffle!r}")
+                shuf_batch = jax.tree.map(reorder, batch_flat)
+                shuf_adv = reorder(adv_flat)
+                shuf_ret = reorder(ret_flat)
+
+                def get_mb(i):
+                    sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb_size, mb_size, axis=0
+                    )
+                    return jax.tree.map(sl, shuf_batch), sl(shuf_adv), sl(shuf_ret)
+
+            def minibatch_step(carry, i):
                 params, opt_state = carry
-                take = lambda x: jnp.take(x, idx, axis=0)
-                mb = jax.tree.map(take, batch_flat)
+                mb, adv_mb, ret_mb = get_mb(i)
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
-                    params, mb, take(adv_flat), take(ret_flat)
+                    params, mb, adv_mb, ret_mb
                 )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            idxs = perm[: mb_size * cfg.num_minibatches].reshape(
-                cfg.num_minibatches, mb_size
-            )
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch_step, (params, opt_state), idxs
+                minibatch_step,
+                (params, opt_state),
+                jnp.arange(cfg.num_minibatches),
             )
             return (params, opt_state, key), metrics
 
