@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=2, help="PPO epochs/update")
     p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--entropy-final", type=float, default=None,
+                   help="linear-anneal entropy coef to this over --updates")
+    p.add_argument("--clip-eps", type=float, default=0.2)
     p.add_argument("--gamma", type=float, default=0.995)
     p.add_argument("--anneal", type=int, default=0,
                    help="linear-decay LR to 0 over this many updates")
@@ -82,10 +85,29 @@ def main(argv=None) -> int:
         learner = PPO(env, PPOConfig(
             num_envs=args.num_envs, rollout_len=args.rollout_len, lr=args.lr,
             num_epochs=args.epochs, num_minibatches=args.minibatches,
-            entropy_coef=args.entropy_coef, gamma=args.gamma,
-            anneal_updates=args.anneal,
+            entropy_coef=args.entropy_coef, clip_eps=args.clip_eps,
+            gamma=args.gamma,
         ))
-        step_fn = learner.update_jit
+
+        # lr/entropy schedules are computed HERE and passed as runtime
+        # scalars (ppo.default_hypers): every sweep point / anneal shape
+        # shares one compiled update program (compiles are 10-15 min on the
+        # axon tunnel)
+        def ppo_hypers(update: int) -> dict:
+            lr = args.lr
+            if args.anneal > 0:
+                lr *= max(0.0, 1.0 - update / args.anneal)
+            ent = args.entropy_coef
+            if args.entropy_final is not None and args.updates > 1:
+                frac = min(1.0, update / (args.updates - 1))
+                ent = args.entropy_coef + frac * (
+                    args.entropy_final - args.entropy_coef
+                )
+            return {"lr": lr, "entropy_coef": ent, "clip_eps": args.clip_eps}
+
+        step_fn = lambda state, update: learner.update_jit(
+            state, ppo_hypers(update)
+        )
         steps_per_call = args.num_envs * args.rollout_len
     else:
         learner = DQN(env, DQNConfig(
@@ -93,7 +115,8 @@ def main(argv=None) -> int:
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update,
         ))
-        step_fn = learner.iteration_jit
+        dqn_step = learner.iteration_jit
+        step_fn = lambda state, update: dqn_step(state)
         steps_per_call = args.num_envs * learner.cfg.collect_steps
 
     state = learner.init(jax.random.key(args.seed))
@@ -118,7 +141,7 @@ def main(argv=None) -> int:
         if args.profile_dir and update == start + 2 and not profiling_active:
             jax.profiler.start_trace(args.profile_dir)
             profiling_active = True
-        state, metrics = step_fn(state)
+        state, metrics = step_fn(state, update)
         # device_get, not block_until_ready: on the axon tunnel the latter
         # returns at enqueue time (see bench.py), which would let the host
         # race arbitrarily far ahead of the device and corrupt the

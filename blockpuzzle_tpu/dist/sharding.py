@@ -31,7 +31,8 @@ PARAM_RULES = [
     # column-parallel hidden projection: (in, hidden) -> shard hidden
     (r"Torso_0/Dense_0/kernel", P(None, "tp")),
     # row-parallel output heads: (hidden, out) -> shard hidden
-    (r"Dense_0/kernel", P("tp", None)),
+    # (MXUDense = bf16-operand/f32-accumulate dense, learn/networks.py)
+    (r"MXUDense_0/kernel", P("tp", None)),
     (r".*", P()),
 ]
 

@@ -2,12 +2,13 @@
 
 from blockpuzzle_tpu.learn.dqn import DQN, DQNConfig, DQNState
 from blockpuzzle_tpu.learn.networks import ActorCritic, QNetwork, Torso
-from blockpuzzle_tpu.learn.ppo import PPO, PPOConfig, TrainState
+from blockpuzzle_tpu.learn.ppo import PPO, PPOConfig, TrainState, default_hypers
 
 __all__ = [
     "PPO",
     "PPOConfig",
     "TrainState",
+    "default_hypers",
     "DQN",
     "DQNConfig",
     "DQNState",

@@ -16,7 +16,7 @@ free to be TPU-idiomatic:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,41 @@ class Torso(nn.Module):
         return nn.relu(x)
 
 
+class MXUDense(nn.Module):
+    """Dense with bf16 MXU inputs and float32 accumulation.
+
+    ``nn.Dense(dtype=f32)`` runs the matmul at the TPU's (slow) emulated-f32
+    rate; ``dtype=bf16`` runs at full MXU rate but rounds the OUTPUT to bf16
+    (~3 significant digits — too coarse for PPO logits, whose clipped ratios
+    are exp of logit differences).  The TPU recipe is bf16 operands +
+    ``preferred_element_type=f32``: full MXU rate, f32 accumulation/output.
+    """
+
+    features: int
+    kernel_partition: Tuple[Optional[str], ...] = (None, None)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.with_partitioning(
+                nn.initializers.lecun_normal(), self.kernel_partition
+            ),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            kernel.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias
+
+
 class ActorCritic(nn.Module):
     """Masked-policy + value network (PPO / A2C / eval)."""
 
@@ -87,19 +122,11 @@ class ActorCritic(nn.Module):
             board, queue
         )
         # row-parallel candidate: (hidden, A) partitioned ("tp", None)
-        logits = nn.Dense(
-            self.cfg.num_actions(),
-            dtype=jnp.float32,
-            kernel_init=nn.with_partitioning(
-                nn.initializers.lecun_normal(), ("tp", None)
-            ),
-        )(h.astype(jnp.float32))
+        logits = MXUDense(
+            self.cfg.num_actions(), kernel_partition=("tp", None)
+        )(h)
         logits = jnp.where(action_mask, logits, NEG_INF)
-        value = nn.Dense(
-            1,
-            dtype=jnp.float32,
-            kernel_init=nn.initializers.lecun_normal(),
-        )(h.astype(jnp.float32))
+        value = MXUDense(1)(h)
         return logits, value[..., 0]
 
 
@@ -118,13 +145,7 @@ class QNetwork(nn.Module):
         h = Torso(self.cfg, self.num_pieces, self.channels, self.hidden)(
             board, queue
         )
-        q = nn.Dense(
-            self.cfg.num_actions(),
-            dtype=jnp.float32,
-            kernel_init=nn.with_partitioning(
-                nn.initializers.lecun_normal(), ("tp", None)
-            ),
-        )(h.astype(jnp.float32))
+        q = MXUDense(self.cfg.num_actions(), kernel_partition=("tp", None))(h)
         return jnp.where(action_mask, q, NEG_INF)
 
 

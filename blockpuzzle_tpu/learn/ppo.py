@@ -54,6 +54,21 @@ class PPOConfig:
     channels: Tuple[int, ...] = (32, 64)
 
 
+def default_hypers(cfg: PPOConfig) -> Dict[str, float]:
+    """Runtime-tunable hyperparameters at their config values.
+
+    ``PPO.update`` accepts these as TRACED scalars, so the host can change
+    them every update (LR anneal, entropy schedule, sweeps) without
+    recompiling — on the axon tunnel a PPO-update compile is 10-15 min, so
+    baking sweep constants into the program would dominate sweep cost.
+    """
+    return {
+        "lr": cfg.lr,
+        "entropy_coef": cfg.entropy_coef,
+        "clip_eps": cfg.clip_eps,
+    }
+
+
 @struct.dataclass
 class Batch:
     """One rollout's transitions, time-major (T, N, ...)."""
@@ -100,22 +115,13 @@ class PPO:
             channels=self.cfg.channels,
             hidden=self.cfg.hidden,
         )
-        if self.cfg.anneal_updates > 0:
-            # optax counts GRADIENT steps; one PPO update performs
-            # num_epochs * num_minibatches of them
-            grad_steps_per_update = (
-                self.cfg.num_epochs * self.cfg.num_minibatches
-            )
-            schedule = optax.linear_schedule(
-                self.cfg.lr,
-                0.0,
-                self.cfg.anneal_updates * grad_steps_per_update,
-            )
-        else:
-            schedule = self.cfg.lr
+        # Direction-only optimizer: the learning rate is applied manually in
+        # ``update`` so it can be a RUNTIME input (see ``Hypers``) — sweeping
+        # lr / annealing from the host then reuses ONE compiled program
+        # instead of paying the tunnel's 10-15 min compile per constant.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),
-            optax.adam(schedule),
+            optax.scale_by_adam(),
         )
 
     # ------------------------------------------------------------------
@@ -270,8 +276,13 @@ class PPO:
 
     # ------------------------------------------------------------------
 
-    def _loss(self, params, minibatch, advantages, returns):
+    def _loss(
+        self, params, minibatch, advantages, returns,
+        entropy_coef=None, clip_eps=None,
+    ):
         cfg = self.cfg
+        entropy_coef = cfg.entropy_coef if entropy_coef is None else entropy_coef
+        clip_eps = cfg.clip_eps if clip_eps is None else clip_eps
         logits, value = self.net.apply(
             params, minibatch.board, minibatch.queue, minibatch.action_mask
         )
@@ -279,14 +290,14 @@ class PPO:
         ratio = jnp.exp(logp - minibatch.log_prob)
         adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
         pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg2 = jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv
         policy_loss = -jnp.minimum(pg1, pg2).mean()
         value_loss = 0.5 * jnp.square(value - returns).mean()
         entropy = networks.masked_entropy(logits).mean()
         total = (
             policy_loss
             + cfg.value_coef * value_loss
-            - cfg.entropy_coef * entropy
+            - entropy_coef * entropy
         )
         metrics = {
             "loss": total,
@@ -299,9 +310,33 @@ class PPO:
 
     # ------------------------------------------------------------------
 
-    def update(self, state: TrainState) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        """One full PPO update: rollout + GAE + epochs of minibatch SGD."""
+    def update(
+        self, state: TrainState, hypers: Optional[Dict[str, Any]] = None
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """One full PPO update: rollout + GAE + epochs of minibatch SGD.
+
+        ``hypers`` (see ``default_hypers``) carries lr / entropy_coef /
+        clip_eps as runtime scalars; when omitted they resolve to config
+        constants (including the ``anneal_updates`` linear LR decay,
+        evaluated per UPDATE from ``state.update_count``).
+        """
         cfg = self.cfg
+        if hypers is None:
+            lr = cfg.lr
+            if cfg.anneal_updates > 0:
+                frac = jnp.maximum(
+                    0.0,
+                    1.0
+                    - state.update_count.astype(jnp.float32)
+                    / cfg.anneal_updates,
+                )
+                lr = cfg.lr * frac
+            entropy_coef: Any = cfg.entropy_coef
+            clip_eps: Any = cfg.clip_eps
+        else:
+            lr = hypers["lr"]
+            entropy_coef = hypers["entropy_coef"]
+            clip_eps = hypers["clip_eps"]
         state, batch, last_value, ep_stats = self._rollout(state)
         advantages, returns = self._gae(batch, last_value)
 
@@ -355,10 +390,14 @@ class PPO:
                 params, opt_state = carry
                 mb, adv_mb, ret_mb = get_mb(i)
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
-                    params, mb, adv_mb, ret_mb
+                    params, mb, adv_mb, ret_mb, entropy_coef, clip_eps
                 )
+                # tx is direction-only (scale_by_adam); apply -lr here so lr
+                # stays a runtime input (no recompile on anneal/sweep)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params = optax.apply_updates(
+                    params, jax.tree.map(lambda u: -lr * u, updates)
+                )
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(

@@ -120,8 +120,11 @@ def main() -> int:
                 grads, metrics = jax.grad(ppo._loss, has_aux=True)(
                     params, m, a, r
                 )
+                # tx is direction-only; apply -lr as in PPO.update
                 updates, opt_state = ppo.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params = optax.apply_updates(
+                    params, jax.tree.map(lambda u: -cfg.lr * u, updates)
+                )
                 return (params, opt_state), metrics["loss"]
 
             (params, opt_state), losses = jax.lax.scan(

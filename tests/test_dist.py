@@ -178,7 +178,7 @@ def test_param_rules_shard_head_kernels():
     torso = [k for k in flat if "Torso_0/Dense_0/kernel" in k]
     heads = [
         k for k in flat
-        if "/Dense_0/kernel" in k and "Torso" not in k and "params/" in k
+        if "/MXUDense_0/kernel" in k and "params/" in k
     ]
     assert torso and all(flat[k] == P(None, "tp") for k in torso), flat
     assert heads and all(flat[k] == P("tp", None) for k in heads), heads

@@ -97,6 +97,57 @@ def test_gae_simple_case(env):
     )
 
 
+def test_ppo_runtime_hypers_match_static(env):
+    """update(state, default_hypers) is bit-identical to update(state) —
+    the sweep path (runtime lr/entropy/clip scalars) is the same program
+    semantics as the baked-constant path."""
+    from blockpuzzle_tpu.learn import default_hypers
+
+    ppo = small_ppo(env)
+    state_a = ppo.init(jax.random.key(7))
+    state_b = ppo.init(jax.random.key(7))
+    out_a, m_a = jax.jit(ppo.update)(state_a)
+    out_b, m_b = jax.jit(ppo.update)(state_b, default_hypers(ppo.cfg))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        out_a.params,
+        out_b.params,
+    )
+    assert float(m_a["loss"]) == float(m_b["loss"])
+
+
+def test_ppo_runtime_lr_is_live(env):
+    """Changing the runtime lr changes the step (no silent constant-folding);
+    lr=0 freezes the params exactly."""
+    ppo = small_ppo(env)
+    state = ppo.init(jax.random.key(8))
+    p0 = jax.tree.map(np.array, state.params)
+    hy = {"lr": 0.0, "entropy_coef": 0.01, "clip_eps": 0.2}
+    out, _ = jax.jit(ppo.update)(state, hy)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        p0,
+        out.params,
+    )
+
+
+def test_ppo_anneal_updates_decays_lr(env):
+    """cfg.anneal_updates>0 (hypers=None path) shrinks the step over time
+    and reaches lr=0 at the horizon."""
+    ppo = small_ppo(env, anneal_updates=2)
+    state = ppo.init(jax.random.key(9))
+    state = state.replace(update_count=jnp.asarray(2, jnp.int32))
+    p0 = jax.tree.map(np.array, state.params)
+    out, _ = jax.jit(ppo.update)(state)  # frac = 1 - 2/2 = 0 -> frozen
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        p0,
+        out.params,
+    )
+
+
 def test_dqn_iteration(env):
     cfg = DQNConfig(
         num_envs=16,

@@ -151,7 +151,7 @@ def test_restore_params_across_optimizer_mismatch(tmp_path):
     env = make_env(default_config())
     train_ppo = PPO(env, PPOConfig(
         num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
-        hidden=16, channels=(4,), anneal_updates=10,
+        hidden=16, channels=(4,),
     ))
     state = train_ppo.init(jax.random.key(0))
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
@@ -159,8 +159,12 @@ def test_restore_params_across_optimizer_mismatch(tmp_path):
 
     eval_ppo = PPO(env, PPOConfig(
         num_envs=8, rollout_len=4, num_epochs=1, num_minibatches=2,
-        hidden=16, channels=(4,),  # no anneal: different opt-state tree
+        hidden=16, channels=(4,),
     ))
+    # different optimizer => different opt-state tree than the checkpoint
+    import optax
+
+    eval_ppo.tx = optax.sgd(1e-3)
     template = eval_ppo.init(jax.random.key(1))
     # fresh manager, as in a real eval process (a single orbax manager
     # registers one handler type per item; mixing Standard save +
