@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linear-anneal entropy coef to this over --updates")
     p.add_argument("--clip-eps", type=float, default=0.2)
     p.add_argument("--gamma", type=float, default=0.995)
+    p.add_argument("--gae-lambda", type=float, default=0.95)
+    p.add_argument("--value-coef", type=float, default=0.5)
     p.add_argument("--anneal", type=int, default=0,
                    help="linear-decay LR to 0 over this many updates")
     p.add_argument("--buffer-size", type=int, default=200_000,
@@ -103,7 +105,11 @@ def main(argv=None) -> int:
                 ent = args.entropy_coef + frac * (
                     args.entropy_final - args.entropy_coef
                 )
-            return {"lr": lr, "entropy_coef": ent, "clip_eps": args.clip_eps}
+            return {
+                "lr": lr, "entropy_coef": ent, "clip_eps": args.clip_eps,
+                "gamma": args.gamma, "gae_lambda": args.gae_lambda,
+                "value_coef": args.value_coef,
+            }
 
         step_fn = lambda state, update: learner.update_jit(
             state, ppo_hypers(update)

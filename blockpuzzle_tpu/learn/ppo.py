@@ -66,6 +66,9 @@ def default_hypers(cfg: PPOConfig) -> Dict[str, float]:
         "lr": cfg.lr,
         "entropy_coef": cfg.entropy_coef,
         "clip_eps": cfg.clip_eps,
+        "gamma": cfg.gamma,
+        "gae_lambda": cfg.gae_lambda,
+        "value_coef": cfg.value_coef,
     }
 
 
@@ -238,7 +241,8 @@ class PPO:
     # ------------------------------------------------------------------
 
     def _gae(
-        self, batch: Batch, last_value: jax.Array
+        self, batch: Batch, last_value: jax.Array,
+        gamma=None, gae_lambda=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Generalized advantage estimation over the time axis.
 
@@ -248,6 +252,8 @@ class PPO:
         to the NEXT episode).
         """
         cfg = self.cfg
+        gamma = cfg.gamma if gamma is None else gamma
+        gae_lambda = cfg.gae_lambda if gae_lambda is None else gae_lambda
 
         def body(carry, xs):
             gae, next_value = carry
@@ -258,8 +264,8 @@ class PPO:
                 0.0,
                 jnp.where(truncated, final_value, next_value),
             )
-            delta = reward + cfg.gamma * next_v - value
-            gae = delta + cfg.gamma * cfg.gae_lambda * jnp.where(
+            delta = reward + gamma * next_v - value
+            gae = delta + gamma * gae_lambda * jnp.where(
                 done, 0.0, gae
             )
             return (gae, value), gae
@@ -278,11 +284,12 @@ class PPO:
 
     def _loss(
         self, params, minibatch, advantages, returns,
-        entropy_coef=None, clip_eps=None,
+        entropy_coef=None, clip_eps=None, value_coef=None,
     ):
         cfg = self.cfg
         entropy_coef = cfg.entropy_coef if entropy_coef is None else entropy_coef
         clip_eps = cfg.clip_eps if clip_eps is None else clip_eps
+        value_coef = cfg.value_coef if value_coef is None else value_coef
         logits, value = self.net.apply(
             params, minibatch.board, minibatch.queue, minibatch.action_mask
         )
@@ -296,7 +303,7 @@ class PPO:
         entropy = networks.masked_entropy(logits).mean()
         total = (
             policy_loss
-            + cfg.value_coef * value_loss
+            + value_coef * value_loss
             - entropy_coef * entropy
         )
         metrics = {
@@ -333,12 +340,18 @@ class PPO:
                 lr = cfg.lr * frac
             entropy_coef: Any = cfg.entropy_coef
             clip_eps: Any = cfg.clip_eps
+            gamma: Any = cfg.gamma
+            gae_lambda: Any = cfg.gae_lambda
+            value_coef: Any = cfg.value_coef
         else:
             lr = hypers["lr"]
             entropy_coef = hypers["entropy_coef"]
             clip_eps = hypers["clip_eps"]
+            gamma = hypers["gamma"]
+            gae_lambda = hypers["gae_lambda"]
+            value_coef = hypers["value_coef"]
         state, batch, last_value, ep_stats = self._rollout(state)
-        advantages, returns = self._gae(batch, last_value)
+        advantages, returns = self._gae(batch, last_value, gamma, gae_lambda)
 
         # flatten (T, N) -> (T*N,)
         def flat(x):
@@ -390,7 +403,8 @@ class PPO:
                 params, opt_state = carry
                 mb, adv_mb, ret_mb = get_mb(i)
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
-                    params, mb, adv_mb, ret_mb, entropy_coef, clip_eps
+                    params, mb, adv_mb, ret_mb,
+                    entropy_coef, clip_eps, value_coef,
                 )
                 # tx is direction-only (scale_by_adam); apply -lr here so lr
                 # stays a runtime input (no recompile on anneal/sweep)

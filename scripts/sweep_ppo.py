@@ -1,0 +1,169 @@
+"""PPO hyperparameter sweep in ONE process with ONE compiled update program.
+
+VERDICT r1 item 3: close the PPO quality gap (greedy return >= DQN's ~270
+on the default preset).  A sweep is cheap in device time (~0.2 s/update)
+but a PPO-update compile costs 10-15 min through the axon tunnel — so every
+sweep point MUST share one program.  ``PPO.update(state, hypers)`` takes
+lr / entropy_coef / clip_eps / gamma / gae_lambda / value_coef as runtime
+scalars (learn/ppo.py ``default_hypers``); this script linearly interpolates
+each config's schedules on the host and feeds them in per update.
+
+Per config: init -> train --updates -> greedy eval (argmax policy, mean
+completed-episode return over --eval-steps x --eval-envs, the same metric
+as ``cli.evaluate --greedy``).  Prints one JSON line per config and a final
+summary; optionally checkpoints the best config's final TrainState for
+``cli.evaluate``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# name -> (lr start/end, entropy start/end, clip, gamma, gae lambda,
+# value coef); schedules interpolate linearly over the run
+CONFIGS = {
+    "base": dict(lr0=3e-4, lr1=3e-4, ent0=0.01, ent1=0.01,
+                 clip=0.2, gamma=0.995, lam=0.95, vc=0.5),
+    "anneal": dict(lr0=3e-4, lr1=0.0, ent0=0.01, ent1=0.001,
+                   clip=0.2, gamma=0.995, lam=0.95, vc=0.5),
+    "hot": dict(lr0=1e-3, lr1=0.0, ent0=0.01, ent1=0.01,
+                clip=0.2, gamma=0.995, lam=0.95, vc=0.5),
+    "lowent": dict(lr0=3e-4, lr1=0.0, ent0=0.003, ent1=0.0,
+                   clip=0.2, gamma=0.995, lam=0.95, vc=0.5),
+    "gamma99": dict(lr0=3e-4, lr1=0.0, ent0=0.01, ent1=0.001,
+                    clip=0.2, gamma=0.99, lam=0.95, vc=0.5),
+    "widelam": dict(lr0=3e-4, lr1=0.0, ent0=0.01, ent1=0.001,
+                    clip=0.2, gamma=0.995, lam=0.8, vc=0.5),
+}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", nargs="*", default=list(CONFIGS),
+                   choices=sorted(CONFIGS), help="subset to run")
+    p.add_argument("--updates", type=int, default=2000)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--eval-envs", type=int, default=2048)
+    p.add_argument("--eval-steps", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=200)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="save the best config's final TrainState here")
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
+    args = p.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blockpuzzle_tpu.env import make_env
+    from blockpuzzle_tpu.learn import PPO, PPOConfig
+    from blockpuzzle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    env = make_env()
+    ppo = PPO(env, PPOConfig(
+        num_envs=args.num_envs, rollout_len=args.rollout_len
+    ))
+    update = ppo.update_jit
+
+    # one greedy-eval program for all configs: params passed as an argument
+    eval_chunk_len = 64
+
+    @jax.jit
+    def eval_chunk(params, env_state, board, queue, mask):
+        def body(carry, _):
+            env_state, board, queue, mask = carry
+            logits, _ = ppo.net.apply(params, board, queue, mask)
+            a = jnp.argmax(logits, axis=-1)
+            env_state, ts = env.step(env_state, a)
+            out = (
+                (ts.info["episode_return"] * ts.done).sum(),
+                ts.done.sum(),
+            )
+            return (env_state, ts.board, ts.queue, ts.action_mask), out
+
+        (env_state, board, queue, mask), (ep_r, eps) = jax.lax.scan(
+            body, (env_state, board, queue, mask), None, length=eval_chunk_len
+        )
+        return (env_state, board, queue, mask), ep_r.sum(), eps.sum()
+
+    def greedy_return(params, seed):
+        env_state, ts = env.init_jit(jax.random.key(seed), args.eval_envs)
+        carry = (env_state, ts.board, ts.queue, ts.action_mask)
+        tot_r = tot_eps = 0.0
+        for _ in range(max(1, args.eval_steps // eval_chunk_len)):
+            carry, ep_r, eps = eval_chunk(params, *carry)
+            tot_r += float(ep_r)   # device_get barrier (axon: see bench.py)
+            tot_eps += float(eps)
+        return tot_r / max(tot_eps, 1.0), int(tot_eps)
+
+    def interp(a, b, frac):
+        return a + (b - a) * frac
+
+    results = []
+    best = None  # (greedy_return, name, host TrainState copy)
+    for ci, name in enumerate(args.configs):
+        c = CONFIGS[name]
+        state = ppo.init(jax.random.key(args.seed * 131 + ci))
+        t0 = time.time()
+        last_ret = 0.0
+        for u in range(args.updates):
+            frac = u / max(args.updates - 1, 1)
+            hypers = {
+                "lr": interp(c["lr0"], c["lr1"], frac),
+                "entropy_coef": interp(c["ent0"], c["ent1"], frac),
+                "clip_eps": c["clip"],
+                "gamma": c["gamma"],
+                "gae_lambda": c["lam"],
+                "value_coef": c["vc"],
+            }
+            state, metrics = update(state, hypers)
+            if (u + 1) % args.log_every == 0 or u == 0:
+                last_ret = float(metrics["episode_return"])
+                print(
+                    f"[{name}] update {u + 1}/{args.updates}: "
+                    f"train return {last_ret:.1f} "
+                    f"entropy {float(metrics['entropy']):.3f}",
+                    file=sys.stderr,
+                )
+        train_s = time.time() - t0
+        ret, n_eps = greedy_return(state.params, seed=10_000 + ci)
+        frames = args.updates * args.num_envs * args.rollout_len
+        rec = {
+            "config": name,
+            **c,
+            "updates": args.updates,
+            "greedy_return": round(ret, 1),
+            "eval_episodes": n_eps,
+            "final_train_return": round(last_ret, 1),
+            "train_s": round(train_s, 1),
+            "frames_per_s": round(frames / train_s),
+        }
+        print(json.dumps(rec))
+        sys.stdout.flush()
+        results.append(rec)
+        if best is None or ret > best[0]:
+            best = (ret, name, jax.device_get(state))
+
+    results.sort(key=lambda r: -r["greedy_return"])
+    print(json.dumps({"summary": results, "best": results[0]["config"]}))
+    if args.checkpoint_dir and best is not None:
+        from blockpuzzle_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir)
+        mgr.save(args.updates, best[2], force=True)
+        mgr.close()
+        print(f"[sweep] saved best ({best[1]}) to {args.checkpoint_dir}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -98,9 +98,11 @@ def test_gae_simple_case(env):
 
 
 def test_ppo_runtime_hypers_match_static(env):
-    """update(state, default_hypers) is bit-identical to update(state) —
-    the sweep path (runtime lr/entropy/clip scalars) is the same program
-    semantics as the baked-constant path."""
+    """update(state, default_hypers) matches update(state) to float
+    tolerance — the sweep path (runtime scalars) has the same semantics as
+    the baked-constant path.  Not bit-exact: the static program constant-
+    folds e.g. gamma*gae_lambda at f64 before the single f32 round, the
+    runtime program rounds each factor to f32 first."""
     from blockpuzzle_tpu.learn import default_hypers
 
     ppo = small_ppo(env)
@@ -109,13 +111,15 @@ def test_ppo_runtime_hypers_match_static(env):
     out_a, m_a = jax.jit(ppo.update)(state_a)
     out_b, m_b = jax.jit(ppo.update)(state_b, default_hypers(ppo.cfg))
     jax.tree.map(
-        lambda a, b: np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b)
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         ),
         out_a.params,
         out_b.params,
     )
-    assert float(m_a["loss"]) == float(m_b["loss"])
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4
+    )
 
 
 def test_ppo_runtime_lr_is_live(env):
@@ -124,7 +128,9 @@ def test_ppo_runtime_lr_is_live(env):
     ppo = small_ppo(env)
     state = ppo.init(jax.random.key(8))
     p0 = jax.tree.map(np.array, state.params)
-    hy = {"lr": 0.0, "entropy_coef": 0.01, "clip_eps": 0.2}
+    from blockpuzzle_tpu.learn import default_hypers
+
+    hy = dict(default_hypers(ppo.cfg), lr=0.0)
     out, _ = jax.jit(ppo.update)(state, hy)
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
