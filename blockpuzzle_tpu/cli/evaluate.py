@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=1024, help="eval env steps")
     p.add_argument("--greedy", action="store_true",
                    help="argmax policy instead of sampling")
+    p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
+                   help="must match the trained network's torso")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     return p
@@ -45,11 +47,15 @@ def main(argv=None) -> int:
     env = make_env(PRESETS[args.preset]())
     cfg = env.cfg
     if args.algo == "ppo":
-        net = PPO(env, PPOConfig(num_envs=args.num_envs)).net
+        net = PPO(
+            env, PPOConfig(num_envs=args.num_envs, torso=args.torso)
+        ).net
     else:
         from blockpuzzle_tpu.learn import DQN, DQNConfig
 
-        net = DQN(env, DQNConfig(num_envs=args.num_envs)).net
+        net = DQN(
+            env, DQNConfig(num_envs=args.num_envs, torso=args.torso)
+        ).net
     # abstract params template via eval_shape — no device work, no env/opt
     # init (a full TrainState init costs minutes of remote compile here)
     params_template = jax.eval_shape(

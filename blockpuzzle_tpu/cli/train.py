@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN epsilon decay horizon (iterations)")
     p.add_argument("--target-update", type=int, default=500,
                    help="DQN target-net sync period (gradient steps)")
+    p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
+                   help="network torso: CNN or pure-matmul MLP")
+    p.add_argument("--dispatch-updates", type=int, default=1,
+                   help="PPO: scan this many updates per device dispatch "
+                        "(amortizes host round trips; --updates must be a "
+                        "multiple)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=10)
@@ -88,7 +94,7 @@ def main(argv=None) -> int:
             num_envs=args.num_envs, rollout_len=args.rollout_len, lr=args.lr,
             num_epochs=args.epochs, num_minibatches=args.minibatches,
             entropy_coef=args.entropy_coef, clip_eps=args.clip_eps,
-            gamma=args.gamma,
+            gamma=args.gamma, torso=args.torso,
         ))
 
         # lr/entropy schedules are computed HERE and passed as runtime
@@ -111,15 +117,33 @@ def main(argv=None) -> int:
                 "value_coef": args.value_coef,
             }
 
-        step_fn = lambda state, update: learner.update_jit(
-            state, ppo_hypers(update)
+        if args.dispatch_updates > 1:
+            import numpy as np
+
+            def step_fn(state, update):
+                # K updates in one device dispatch (amortizes tunnel RTT);
+                # metrics reported from the LAST update of the group
+                stack = [ppo_hypers(u)
+                         for u in range(update, update + args.dispatch_updates)]
+                hypers = {
+                    k: np.asarray([h[k] for h in stack], np.float32)
+                    for k in stack[0]
+                }
+                state, metrics = learner.multi_update_jit(state, hypers)
+                return state, {k: v[-1] for k, v in metrics.items()}
+
+        else:
+            step_fn = lambda state, update: learner.update_jit(
+                state, ppo_hypers(update)
+            )
+        steps_per_call = (
+            args.num_envs * args.rollout_len * args.dispatch_updates
         )
-        steps_per_call = args.num_envs * args.rollout_len
     else:
         learner = DQN(env, DQNConfig(
             num_envs=args.num_envs, lr=args.lr,
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
-            target_update_every=args.target_update,
+            target_update_every=args.target_update, torso=args.torso,
         ))
         dqn_step = learner.iteration_jit
         step_fn = lambda state, update: dqn_step(state)
@@ -140,13 +164,21 @@ def main(argv=None) -> int:
     meter = Throughput()
 
 
-    profiling_active = False
-    for update in range(start, args.updates):
+    stride = args.dispatch_updates if args.algo == "ppo" else 1
+    if (args.updates - start) % stride != 0:
+        raise SystemExit(
+            f"--updates ({args.updates}) minus resume point ({start}) must "
+            f"be a multiple of --dispatch-updates ({stride})"
+        )
+
+    profiling_active = profiled_once = False
+    for update in range(start, args.updates, stride):
         # capture a device trace spanning updates 2-4 (post-compile,
         # steady-state)
-        if args.profile_dir and update == start + 2 and not profiling_active:
+        if (args.profile_dir and not profiling_active and not profiled_once
+                and update - start >= 2):
             jax.profiler.start_trace(args.profile_dir)
-            profiling_active = True
+            profiling_active = profiled_once = True
         state, metrics = step_fn(state, update)
         # device_get, not block_until_ready: on the axon tunnel the latter
         # returns at enqueue time (see bench.py), which would let the host
@@ -155,24 +187,25 @@ def main(argv=None) -> int:
         loss_host = float(
             metrics["loss"] if "loss" in metrics else metrics["episode_return"]
         )
-        if profiling_active and (update >= start + 4 or update == args.updates - 1):
+        done = update + stride  # updates completed so far
+        if profiling_active and (done >= start + 4 or done >= args.updates):
             jax.profiler.stop_trace()
             profiling_active = False
         sps = meter.tick(steps_per_call)
-        if (update + 1) % args.log_every == 0 or update == start:
+        if done % args.log_every == 0 or update == start:
             metrics = dict(metrics)
             metrics["env_steps_per_s"] = sps
-            host = logger.log(update + 1, metrics)
+            host = logger.log(done, metrics)
             print(
-                f"update {update + 1}: return={host.get('episode_return', 0):.1f} "
+                f"update {done}: return={host.get('episode_return', 0):.1f} "
                 f"loss={host.get('loss', 0):.4f} steps/s={sps / 1e6:.2f}M"
             )
-        if args.debug and (update + 1) % args.log_every == 0:
+        if args.debug and done % args.log_every == 0:
             from blockpuzzle_tpu.utils import validate_env_state
 
             validate_env_state(env, state.env_state)
-        if ckpt and (update + 1) % args.checkpoint_every == 0:
-            ckpt.save(update + 1, state)
+        if ckpt and done % args.checkpoint_every == 0:
+            ckpt.save(done, state)
     if ckpt:
         if ckpt.latest_step() != args.updates:  # periodic save may have hit it
             ckpt.save(args.updates, state, force=True)

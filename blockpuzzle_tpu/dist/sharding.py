@@ -29,7 +29,7 @@ from blockpuzzle_tpu.dist.mesh import ENV_AXIS
 # anchor on "kernel$".
 PARAM_RULES = [
     # column-parallel hidden projection: (in, hidden) -> shard hidden
-    (r"Torso_0/Dense_0/kernel", P(None, "tp")),
+    (r"Torso_0/hidden_proj/kernel", P(None, "tp")),
     # row-parallel output heads: (hidden, out) -> shard hidden
     # (MXUDense = bf16-operand/f32-accumulate dense, learn/networks.py)
     (r"MXUDense_0/kernel", P("tp", None)),

@@ -39,6 +39,7 @@ class DQNConfig:
     max_grad_norm: float = 10.0
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
+    torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
 
 
 @struct.dataclass
@@ -86,6 +87,7 @@ class DQN:
         self.net = QNetwork(
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
+            arch=self.cfg.torso,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),

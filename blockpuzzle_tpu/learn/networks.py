@@ -28,28 +28,49 @@ NEG_INF = -1e9
 
 
 class Torso(nn.Module):
-    """Shared representation: CNN over board ⊕ queue embedding."""
+    """Shared representation: board features ⊕ queue embedding.
+
+    ``arch="conv"`` (default): small CNN over the board.  ``arch="mlp"``:
+    flatten the board into a single wide matmul — on TPU the 10×10 spatial
+    convs tile the MXU poorly, so the MLP torso trades parameter count for
+    pure-matmul throughput (selected per-experiment; both are parity-free
+    learner internals).
+    """
 
     cfg: EnvConfig
     num_pieces: int
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
     embed_dim: int = 16
+    arch: str = "conv"
+    mlp_width: int = 512
 
     @nn.compact
     def __call__(self, board: jax.Array, queue: jax.Array) -> jax.Array:
-        # board (..., H, W) uint8 -> (..., H, W, 1) bf16
-        x = board.astype(jnp.bfloat16)[..., None]
-        for ch in self.channels:
-            x = nn.Conv(
-                ch,
-                (3, 3),
-                padding="SAME",
+        if self.arch == "mlp":
+            x = board.astype(jnp.bfloat16).reshape(*board.shape[:-2], -1)
+            x = nn.Dense(
+                self.mlp_width,
                 dtype=jnp.bfloat16,
                 kernel_init=nn.initializers.he_normal(),
+                name="mlp_0",
             )(x)
             x = nn.relu(x)
-        x = x.reshape(*x.shape[:-3], -1)
+        elif self.arch == "conv":
+            # board (..., H, W) uint8 -> (..., H, W, 1) bf16
+            x = board.astype(jnp.bfloat16)[..., None]
+            for ch in self.channels:
+                x = nn.Conv(
+                    ch,
+                    (3, 3),
+                    padding="SAME",
+                    dtype=jnp.bfloat16,
+                    kernel_init=nn.initializers.he_normal(),
+                )(x)
+                x = nn.relu(x)
+            x = x.reshape(*x.shape[:-3], -1)
+        else:
+            raise ValueError(f"unknown torso arch {self.arch!r}")
 
         # queue (..., S) int32 -> (..., S * embed_dim); empty sentinel gets
         # its own embedding row (num_pieces + 1 rows total).
@@ -59,13 +80,15 @@ class Torso(nn.Module):
         emb = emb.reshape(*emb.shape[:-2], -1)
 
         x = jnp.concatenate([x, emb], axis=-1)
-        # column-parallel candidate: (in, hidden) partitioned (None, "tp")
+        # column-parallel candidate: (in, hidden) partitioned (None, "tp");
+        # explicit name keeps the tp partition rules arch-independent
         x = nn.Dense(
             self.hidden,
             dtype=jnp.bfloat16,
             kernel_init=nn.with_partitioning(
                 nn.initializers.he_normal(), (None, "tp")
             ),
+            name="hidden_proj",
         )(x)
         return nn.relu(x)
 
@@ -112,15 +135,17 @@ class ActorCritic(nn.Module):
     num_pieces: int
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
+    arch: str = "conv"
 
     @nn.compact
     def __call__(
         self, board: jax.Array, queue: jax.Array, action_mask: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (masked_logits (..., A) f32, value (...,) f32)."""
-        h = Torso(self.cfg, self.num_pieces, self.channels, self.hidden)(
-            board, queue
-        )
+        h = Torso(
+            self.cfg, self.num_pieces, self.channels, self.hidden,
+            arch=self.arch,
+        )(board, queue)
         # row-parallel candidate: (hidden, A) partitioned ("tp", None)
         logits = MXUDense(
             self.cfg.num_actions(), kernel_partition=("tp", None)
@@ -137,14 +162,16 @@ class QNetwork(nn.Module):
     num_pieces: int
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
+    arch: str = "conv"
 
     @nn.compact
     def __call__(
         self, board: jax.Array, queue: jax.Array, action_mask: jax.Array
     ) -> jax.Array:
-        h = Torso(self.cfg, self.num_pieces, self.channels, self.hidden)(
-            board, queue
-        )
+        h = Torso(
+            self.cfg, self.num_pieces, self.channels, self.hidden,
+            arch=self.arch,
+        )(board, queue)
         q = MXUDense(self.cfg.num_actions(), kernel_partition=("tp", None))(h)
         return jnp.where(action_mask, q, NEG_INF)
 

@@ -53,6 +53,7 @@ def main() -> int:
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the best config's final TrainState here")
+    p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     args = p.parse_args()
 
@@ -69,7 +70,8 @@ def main() -> int:
     enable_compilation_cache()
     env = make_env()
     ppo = PPO(env, PPOConfig(
-        num_envs=args.num_envs, rollout_len=args.rollout_len
+        num_envs=args.num_envs, rollout_len=args.rollout_len,
+        torso=args.torso,
     ))
     update = ppo.update_jit
 
@@ -138,6 +140,7 @@ def main() -> int:
         frames = args.updates * args.num_envs * args.rollout_len
         rec = {
             "config": name,
+            "torso": args.torso,
             **c,
             "updates": args.updates,
             "greedy_return": round(ret, 1),

@@ -155,7 +155,7 @@ def test_param_spec_applies_rules_to_boxed_kernels():
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(spec, sep="/")
-    torso = [k for k in flat if "Torso_0/Dense_0/kernel" in k]
+    torso = [k for k in flat if "Torso_0/hidden_proj/kernel" in k]
     assert torso and all(flat[k] == P(None, "tp") for k in torso), flat
 
 
@@ -175,7 +175,7 @@ def test_param_rules_shard_head_kernels():
             spec, is_leaf=lambda x: isinstance(x, P)
         )[0]
     }
-    torso = [k for k in flat if "Torso_0/Dense_0/kernel" in k]
+    torso = [k for k in flat if "Torso_0/hidden_proj/kernel" in k]
     heads = [
         k for k in flat
         if "/MXUDense_0/kernel" in k and "params/" in k

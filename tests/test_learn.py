@@ -154,6 +154,58 @@ def test_ppo_anneal_updates_decays_lr(env):
     )
 
 
+def test_ppo_multi_update_matches_sequential(env):
+    """K scanned updates (one dispatch) match K sequential updates."""
+    from blockpuzzle_tpu.learn import default_hypers
+
+    ppo = small_ppo(env)
+    hy = default_hypers(ppo.cfg)
+    state_a = ppo.init(jax.random.key(11))
+    state_b = ppo.init(jax.random.key(11))
+    for _ in range(3):
+        state_a, m_a = ppo.update_jit(state_a, hy)
+    stack = {k: jnp.full((3,), v, jnp.float32) for k, v in hy.items()}
+    state_b, m_b = ppo.multi_update_jit(state_b, stack)
+    assert m_b["loss"].shape == (3,)
+    assert int(state_b.update_count) == 3
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"][-1]), rtol=1e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        state_a.params,
+        state_b.params,
+    )
+
+
+def test_ppo_mlp_torso_trains(env):
+    """The pure-matmul torso variant runs and learns param updates."""
+    ppo = small_ppo(env, torso="mlp")
+    state = ppo.init(jax.random.key(12))
+    p0 = jax.tree.map(np.array, state.params)
+    assert "mlp_0" in state.params["params"]["Torso_0"]
+    assert "Conv_0" not in state.params["params"]["Torso_0"]
+    state, metrics = ppo.update_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()), p0, state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_dqn_mlp_torso_iteration(env):
+    cfg = DQNConfig(
+        num_envs=8, buffer_size=128, batch_size=8, collect_steps=2,
+        min_buffer=4, hidden=16, channels=(4,), torso="mlp",
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(13))
+    state, m = dqn.iteration_jit(state)
+    assert int(m["buffer_filled"]) == 16
+
+
 def test_dqn_iteration(env):
     cfg = DQNConfig(
         num_envs=16,
