@@ -35,8 +35,11 @@ import subprocess
 import sys
 import time
 
+import os
+
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
-NUM_ENVS = 32768                   # best measured batch (docs/RESULTS.md)
+# best measured batch (docs/RESULTS.md); env var override for experiments
+NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 32768))
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -93,9 +96,13 @@ def bench_device() -> float:
         def body(carry, _):
             state, mask, key = carry
             key, sub = jax.random.split(key)
-            a = jax.random.categorical(
-                sub, jnp.where(mask, 0.0, -1e9), axis=-1
-            )
+            # uniform-legal sampling WITHOUT gumbel noise: iid u32 per
+            # action, argmax over legal slots picks uniformly (tie odds
+            # ~2^-32).  categorical() would spend two transcendentals
+            # (log/exp) per (N, A) element on the VPU — ~60M/step at this
+            # batch — for the same distribution.
+            bits = jax.random.bits(sub, mask.shape, jnp.uint32)
+            a = jnp.argmax(jnp.where(mask, bits, jnp.uint32(0)), axis=-1)
             state, ts = env.step(state, a)
             return (state, ts.action_mask, key), ts.reward.sum()
 
