@@ -38,8 +38,10 @@ import time
 import os
 
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
-# best measured batch (docs/RESULTS.md); env var override for experiments
+# best measured batch (docs/RESULTS.md); env var overrides for experiments
 NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 32768))
+# legality-matmul operand dtype: "bf16" | "int8" (see VecBlockPuzzle)
+MASK_DTYPE = os.environ.get("BP_BENCH_MASK_DTYPE", "bf16")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -87,7 +89,7 @@ def bench_device() -> float:
 
     enable_compilation_cache()
 
-    env = make_env()
+    env = make_env(mask_dtype=MASK_DTYPE)
     state, ts = env.init_jit(jax.random.key(0), NUM_ENVS)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="argmax policy instead of sampling")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="must match the trained network's torso")
+    p.add_argument("--queue-mode", choices=["embed", "planes"],
+                   default="embed",
+                   help="must match the trained network's queue_mode")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     return p
@@ -48,13 +51,15 @@ def main(argv=None) -> int:
     cfg = env.cfg
     if args.algo == "ppo":
         net = PPO(
-            env, PPOConfig(num_envs=args.num_envs, torso=args.torso)
+            env, PPOConfig(num_envs=args.num_envs, torso=args.torso,
+                           queue_mode=args.queue_mode)
         ).net
     else:
         from blockpuzzle_tpu.learn import DQN, DQNConfig
 
         net = DQN(
-            env, DQNConfig(num_envs=args.num_envs, torso=args.torso)
+            env, DQNConfig(num_envs=args.num_envs, torso=args.torso,
+                           queue_mode=args.queue_mode)
         ).net
     # abstract params template via eval_shape — no device work, no env/opt
     # init (a full TrainState init costs minutes of remote compile here)

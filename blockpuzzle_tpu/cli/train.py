@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN target-net sync period (gradient steps)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="network torso: CNN or pure-matmul MLP")
+    p.add_argument("--queue-mode", choices=["embed", "planes"],
+                   default="embed",
+                   help="hand representation: id embedding or spatial "
+                        "piece planes (networks.Torso)")
     p.add_argument("--dispatch-updates", type=int, default=1,
                    help="PPO: scan this many updates per device dispatch "
                         "(amortizes host round trips; --updates must be a "
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
             num_epochs=args.epochs, num_minibatches=args.minibatches,
             entropy_coef=args.entropy_coef, clip_eps=args.clip_eps,
             gamma=args.gamma, torso=args.torso,
+            queue_mode=args.queue_mode,
         ))
 
         # lr/entropy schedules are computed HERE and passed as runtime
@@ -144,6 +149,7 @@ def main(argv=None) -> int:
             num_envs=args.num_envs, lr=args.lr,
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update, torso=args.torso,
+            queue_mode=args.queue_mode,
         ))
         dqn_step = learner.iteration_jit
         step_fn = lambda state, update: dqn_step(state)

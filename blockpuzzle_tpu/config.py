@@ -42,6 +42,11 @@ class EnvConfig:
         episode (game over).
       max_steps: truncation horizon; 0 disables truncation (the game's own
         game-over rule is the only terminal).
+      obs_planes: observation-mode variant — additionally expose the queue
+        as ``piece_planes``: (S, H, W) binary planes with each slot's piece
+        rendered at the board's top-left (empty slots are all-zero), for
+        CNN-only policies.  The ``queue`` id vector stays in the
+        observation either way.
     """
 
     height: int = 10
@@ -56,6 +61,7 @@ class EnvConfig:
     illegal_penalty: float = 0.0
     terminal_penalty: float = 0.0
     max_steps: int = 0
+    obs_planes: bool = False
 
     def __post_init__(self) -> None:
         if self.height <= 0 or self.width <= 0:

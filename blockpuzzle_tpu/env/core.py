@@ -53,6 +53,7 @@ class VecBlockPuzzle:
         cfg: EnvConfig,
         backend: str = "jnp",
         rng_impl: str = "rbg",
+        mask_dtype: str = "bf16",
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -60,12 +61,19 @@ class VecBlockPuzzle:
           rng_impl: PRNG implementation for piece dealing on the fast path
             ("rbg" is ~25% faster end-to-end on v5e than "threefry2x32";
             parity mode injects the oracle's deals and never touches this).
+          mask_dtype: operand dtype of the legality-counts matmul (the
+            dominant step cost): "bf16" (f32/bf16 MXU rate) or "int8"
+            (s8×s8→s32 — 2× the bf16 MXU rate on v5e; exact, counts ≤ 9).
+            Both are bit-identical in outcome; selectable for benchmarking.
         """
         if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
+        if mask_dtype not in ("bf16", "int8"):
+            raise ValueError(f"unknown mask_dtype {mask_dtype!r}")
         self.cfg = cfg
         self.backend = backend
         self.rng_impl = rng_impl
+        self.mask_dtype = mask_dtype
         t = rules.tables_for(cfg)
         self.tables = t
         self.num_pieces = t.num_pieces
@@ -94,6 +102,7 @@ class VecBlockPuzzle:
         #   * empty-board mask (auto-reset) <- one-hot @ valid-anchor table
         self._cover_u8 = np.asarray(t.cover, dtype=np.uint8)             # (P*HW, HW)
         self._cover_t_bf16 = np.asarray(t.cover.T, dtype=jnp.bfloat16)   # (HW, P*HW)
+        self._cover_t_i8 = np.asarray(t.cover.T, dtype=np.int8)          # (HW, P*HW)
         self._valid = np.asarray(t.valid)                                # (P*HW,)
         # attrs rows: [h, w, cells, dr1, dc1, h1, w1, dr2, dc2, h2, w2]
         attrs = np.concatenate(
@@ -112,6 +121,9 @@ class VecBlockPuzzle:
         self._counts_adj = np.asarray(
             np.where(t.valid, 0.0, 1024.0)[None, :], dtype=jnp.bfloat16
         )                                                                # (1, P*HW)
+        self._counts_adj_i32 = np.asarray(
+            np.where(t.valid, 0, 1024)[None, :], dtype=np.int32
+        )
         # Legal anchors on an EMPTY board, per piece (bf16 for the one-hot
         # matmul selection used by auto-reset / init).
         self._empty_legal = np.asarray(
@@ -137,6 +149,10 @@ class VecBlockPuzzle:
         self._line_sizes = np.asarray(
             line_masks.sum(axis=1)[None, :], dtype=np.float32
         )                                                      # (1, L)
+        # piece-plane obs mode (cfg.obs_planes): slot plane = one-hot @ table
+        self._plane_table_bf16 = np.asarray(
+            rules.piece_plane_table(cfg), dtype=jnp.bfloat16
+        )                                                      # (P, HW)
 
         if backend in ("pallas", "hybrid"):
             # deferred import: kernels pull in pallas machinery
@@ -233,14 +249,24 @@ class VecBlockPuzzle:
         # compare BEFORE selection so the == 0 fuses into the matmul
         # epilogue and the all-pieces intermediate is bool (half the HBM
         # traffic of bf16 counts)
-        legal_all = (
-            jnp.dot(
-                board.astype(jnp.bfloat16),
-                self._cover_t_bf16,
-                preferred_element_type=jnp.bfloat16,
-            )
-            + self._counts_adj
-        ) == 0  # (N, P*HW) bool; legal AND in bounds
+        if self.mask_dtype == "int8":
+            legal_all = (
+                jnp.dot(
+                    board.astype(jnp.int8),
+                    self._cover_t_i8,
+                    preferred_element_type=jnp.int32,
+                )
+                + self._counts_adj_i32
+            ) == 0
+        else:
+            legal_all = (
+                jnp.dot(
+                    board.astype(jnp.bfloat16),
+                    self._cover_t_bf16,
+                    preferred_element_type=jnp.bfloat16,
+                )
+                + self._counts_adj
+            ) == 0  # (N, P*HW) bool; legal AND in bounds
         return self._mask_from_counts(legal_all, queue)
 
     def _mask_from_counts(
@@ -275,6 +301,28 @@ class VecBlockPuzzle:
                 jnp.logical_and(acc > 0.5, (pid_s < self.num_pieces)[:, None])
             )
         return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
+
+    def piece_planes(self, queue: jax.Array) -> jax.Array:
+        """(N, S, H, W) uint8 spatial rendering of the hand (obs_planes mode).
+
+        One tiny MXU matmul per slot (one-hot @ plane table) — no gather;
+        empty slots come out all-zero (one-hot of the sentinel is zeros).
+        """
+        cfg = self.cfg
+        n = queue.shape[0]
+        planes = []
+        for s in range(cfg.queue_size):
+            oh = self._piece_onehot(queue[:, s])                  # (N, P)
+            p = jnp.dot(
+                oh, self._plane_table_bf16,
+                preferred_element_type=jnp.bfloat16,
+            )                                                     # (N, HW)
+            planes.append((p > 0.5).astype(jnp.uint8))
+        stacked = jnp.stack(planes, axis=1)                       # (N, S, HW)
+        return stacked.reshape(n, cfg.queue_size, cfg.height, cfg.width)
+
+    def _maybe_planes(self, queue: jax.Array):
+        return self.piece_planes(queue) if self.cfg.obs_planes else None
 
     # ------------------------------------------------------------------
     # Clear scan
@@ -363,6 +411,7 @@ class VecBlockPuzzle:
                 "episode_return": zeros_f,
                 "episode_length": jnp.zeros(num_envs, dtype=jnp.int32),
             },
+            piece_planes=self._maybe_planes(queue),
         )
         return state, ts
 
@@ -392,6 +441,7 @@ class VecBlockPuzzle:
                 "episode_return": zeros_f,
                 "episode_length": jnp.zeros(n, dtype=jnp.int32),
             },
+            piece_planes=self._maybe_planes(queue),
         )
         return new, ts
 
@@ -569,6 +619,8 @@ class VecBlockPuzzle:
             info["final_board"] = board_next.reshape(n, cfg.height, cfg.width)
             info["final_queue"] = queue3
             info["final_action_mask"] = mask
+            if cfg.obs_planes:
+                info["final_piece_planes"] = self.piece_planes(queue3)
         else:
             board_out, queue_out, mask_out = board_next, queue3, mask
             steps_out, score_out = steps_next, score_next
@@ -589,6 +641,7 @@ class VecBlockPuzzle:
             terminated=terminated,
             truncated=truncated,
             info=info,
+            piece_planes=self._maybe_planes(queue_out),
         )
         return new_state, ts
 
@@ -617,6 +670,7 @@ def make_env(
     cfg: Optional[EnvConfig] = None,
     backend: str = "jnp",
     rng_impl: str = "rbg",
+    mask_dtype: str = "bf16",
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:
@@ -626,4 +680,6 @@ def make_env(
     from blockpuzzle_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    return VecBlockPuzzle(cfg, backend=backend, rng_impl=rng_impl)
+    return VecBlockPuzzle(
+        cfg, backend=backend, rng_impl=rng_impl, mask_dtype=mask_dtype
+    )

@@ -54,6 +54,9 @@ class TimeStep:
       board: (N, H, W) uint8
       queue: (N, S) int32
       action_mask: (N, S*H*W) bool
+      piece_planes: (N, S, H, W) uint8 spatial queue rendering, present
+        only when ``EnvConfig.obs_planes`` is set (None otherwise — the
+        flag is static, so every TimeStep in a program agrees).
     """
 
     board: jax.Array
@@ -63,6 +66,7 @@ class TimeStep:
     terminated: jax.Array   # (N,) bool — game over (no legal placement)
     truncated: jax.Array    # (N,) bool — max_steps horizon hit
     info: Dict[str, Any]    # lines_cleared, legal, episode_return, ...
+    piece_planes: Any = None
 
     @property
     def done(self) -> jax.Array:
@@ -70,8 +74,11 @@ class TimeStep:
 
     @property
     def obs(self) -> Dict[str, jax.Array]:
-        return {
+        out = {
             "board": self.board,
             "queue": self.queue,
             "action_mask": self.action_mask,
         }
+        if self.piece_planes is not None:
+            out["piece_planes"] = self.piece_planes
+        return out

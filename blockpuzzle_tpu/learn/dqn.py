@@ -40,6 +40,7 @@ class DQNConfig:
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
+    queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
 
 
 @struct.dataclass
@@ -87,7 +88,7 @@ class DQN:
         self.net = QNetwork(
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
-            arch=self.cfg.torso,
+            arch=self.cfg.torso, queue_mode=self.cfg.queue_mode,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),

@@ -28,13 +28,23 @@ NEG_INF = -1e9
 
 
 class Torso(nn.Module):
-    """Shared representation: board features ⊕ queue embedding.
+    """Shared representation: board features ⊕ queue features.
 
     ``arch="conv"`` (default): small CNN over the board.  ``arch="mlp"``:
     flatten the board into a single wide matmul — on TPU the 10×10 spatial
     convs tile the MXU poorly, so the MLP torso trades parameter count for
     pure-matmul throughput (selected per-experiment; both are parity-free
     learner internals).
+
+    ``queue_mode`` selects the hand representation:
+      * "embed": learned id embedding (``nn.Embed``) concatenated onto the
+        board features.  The embed lookup is a (small) gather.
+      * "planes": spatialize the hand via ``one_hot(queue) @ plane_table``
+        (``rules.piece_plane_table`` — MXU matmul, gather-free) and feed the
+        planes as EXTRA INPUT CHANNELS alongside the board (conv arch) or as
+        extra flattened inputs (mlp arch).  The policy then sees board and
+        hand in the same spatial frame — the network-internal analogue of
+        the ``EnvConfig.obs_planes`` observation variant.
     """
 
     cfg: EnvConfig
@@ -44,11 +54,36 @@ class Torso(nn.Module):
     embed_dim: int = 16
     arch: str = "conv"
     mlp_width: int = 512
+    queue_mode: str = "embed"
 
     @nn.compact
     def __call__(self, board: jax.Array, queue: jax.Array) -> jax.Array:
+        if self.queue_mode == "planes":
+            from blockpuzzle_tpu import rules
+
+            # (P, H*W) host constant; one-hot of the empty sentinel is the
+            # zero vector, so empty slots become all-zero planes
+            table = jnp.asarray(
+                rules.piece_plane_table(self.cfg), dtype=jnp.bfloat16
+            )
+            onehot = (
+                queue[..., None]
+                == jnp.arange(self.num_pieces, dtype=queue.dtype)
+            ).astype(jnp.bfloat16)                      # (..., S, P)
+            planes = jax.lax.dot_general(
+                onehot, table,
+                (((onehot.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16,
+            )                                           # (..., S, H*W)
+        elif self.queue_mode != "embed":
+            raise ValueError(f"unknown queue_mode {self.queue_mode!r}")
+
+        h, w = self.cfg.height, self.cfg.width
         if self.arch == "mlp":
             x = board.astype(jnp.bfloat16).reshape(*board.shape[:-2], -1)
+            if self.queue_mode == "planes":
+                flat_planes = planes.reshape(*planes.shape[:-2], -1)
+                x = jnp.concatenate([x, flat_planes], axis=-1)
             x = nn.Dense(
                 self.mlp_width,
                 dtype=jnp.bfloat16,
@@ -59,6 +94,13 @@ class Torso(nn.Module):
         elif self.arch == "conv":
             # board (..., H, W) uint8 -> (..., H, W, 1) bf16
             x = board.astype(jnp.bfloat16)[..., None]
+            if self.queue_mode == "planes":
+                # (..., S, H*W) -> (..., H, W, S) input channels
+                s = planes.shape[-2]
+                chan = jnp.moveaxis(
+                    planes.reshape(*planes.shape[:-2], s, h, w), -3, -1
+                )
+                x = jnp.concatenate([x, chan], axis=-1)
             for ch in self.channels:
                 x = nn.Conv(
                     ch,
@@ -72,14 +114,14 @@ class Torso(nn.Module):
         else:
             raise ValueError(f"unknown torso arch {self.arch!r}")
 
-        # queue (..., S) int32 -> (..., S * embed_dim); empty sentinel gets
-        # its own embedding row (num_pieces + 1 rows total).
-        emb = nn.Embed(
-            self.num_pieces + 1, self.embed_dim, dtype=jnp.bfloat16
-        )(queue)
-        emb = emb.reshape(*emb.shape[:-2], -1)
-
-        x = jnp.concatenate([x, emb], axis=-1)
+        if self.queue_mode == "embed":
+            # queue (..., S) int32 -> (..., S * embed_dim); empty sentinel
+            # gets its own embedding row (num_pieces + 1 rows total).
+            emb = nn.Embed(
+                self.num_pieces + 1, self.embed_dim, dtype=jnp.bfloat16
+            )(queue)
+            emb = emb.reshape(*emb.shape[:-2], -1)
+            x = jnp.concatenate([x, emb], axis=-1)
         # column-parallel candidate: (in, hidden) partitioned (None, "tp");
         # explicit name keeps the tp partition rules arch-independent
         x = nn.Dense(
@@ -136,6 +178,7 @@ class ActorCritic(nn.Module):
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
     arch: str = "conv"
+    queue_mode: str = "embed"
 
     @nn.compact
     def __call__(
@@ -144,7 +187,7 @@ class ActorCritic(nn.Module):
         """Returns (masked_logits (..., A) f32, value (...,) f32)."""
         h = Torso(
             self.cfg, self.num_pieces, self.channels, self.hidden,
-            arch=self.arch,
+            arch=self.arch, queue_mode=self.queue_mode,
         )(board, queue)
         # row-parallel candidate: (hidden, A) partitioned ("tp", None)
         logits = MXUDense(
@@ -163,6 +206,7 @@ class QNetwork(nn.Module):
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
     arch: str = "conv"
+    queue_mode: str = "embed"
 
     @nn.compact
     def __call__(
@@ -170,7 +214,7 @@ class QNetwork(nn.Module):
     ) -> jax.Array:
         h = Torso(
             self.cfg, self.num_pieces, self.channels, self.hidden,
-            arch=self.arch,
+            arch=self.arch, queue_mode=self.queue_mode,
         )(board, queue)
         q = MXUDense(self.cfg.num_actions(), kernel_partition=("tp", None))(h)
         return jnp.where(action_mask, q, NEG_INF)

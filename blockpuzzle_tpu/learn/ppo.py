@@ -53,6 +53,7 @@ class PPOConfig:
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
+    queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
 
 
 def default_hypers(cfg: PPOConfig) -> Dict[str, float]:
@@ -119,6 +120,7 @@ class PPO:
             channels=self.cfg.channels,
             hidden=self.cfg.hidden,
             arch=self.cfg.torso,
+            queue_mode=self.cfg.queue_mode,
         )
         # Direction-only optimizer: the learning rate is applied manually in
         # ``update`` so it can be a RUNTIME input (see ``Hypers``) — sweeping

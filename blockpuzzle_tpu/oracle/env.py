@@ -65,15 +65,21 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
         h, w, s = cfg.height, cfg.width, cfg.queue_size
         self._empty_id = self.tables.num_pieces
         self.action_space = spaces.Discrete(cfg.num_actions())
-        self.observation_space = spaces.Dict(
-            {
-                "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
-                # piece id per slot; num_pieces == empty-slot sentinel
-                "queue": spaces.Box(
-                    0, self.tables.num_pieces, shape=(s,), dtype=np.int32
-                ),
-            }
-        )
+        obs_spaces = {
+            "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
+            # piece id per slot; num_pieces == empty-slot sentinel
+            "queue": spaces.Box(
+                0, self.tables.num_pieces, shape=(s,), dtype=np.int32
+            ),
+        }
+        if cfg.obs_planes:
+            # spatial queue rendering (one (H, W) plane per slot, piece at
+            # the top-left; empty slot = zero plane) — computed from the raw
+            # grids, independent of the engine's derived tables
+            obs_spaces["piece_planes"] = spaces.Box(
+                0, 1, shape=(s, h, w), dtype=np.uint8
+            )
+        self.observation_space = spaces.Dict(obs_spaces)
 
         self.board = np.zeros((h, w), dtype=np.uint8)
         self.queue = np.full(s, self._empty_id, dtype=np.int32)
@@ -185,7 +191,19 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
     # -- Gymnasium API ------------------------------------------------------
 
     def _get_obs(self) -> Dict[str, np.ndarray]:
-        return {"board": self.board.copy(), "queue": self.queue.copy()}
+        obs = {"board": self.board.copy(), "queue": self.queue.copy()}
+        if self.cfg.obs_planes:
+            cfg = self.cfg
+            planes = np.zeros(
+                (cfg.queue_size, cfg.height, cfg.width), dtype=np.uint8
+            )
+            for s in range(cfg.queue_size):
+                pid = int(self.queue[s])
+                if pid != self._empty_id:
+                    g = self._grids[pid]
+                    planes[s, : g.shape[0], : g.shape[1]] = g
+            obs["piece_planes"] = planes
+        return obs
 
     def _get_info(
         self, mask: Optional[np.ndarray] = None, **extra: Any

@@ -238,6 +238,26 @@ def build_tables(cfg: EnvConfig) -> RuleTables:
     )
 
 
+def piece_plane_table(cfg: EnvConfig) -> np.ndarray:
+    """(P, H*W) uint8: each piece rendered at the board's top-left corner.
+
+    The "piece-plane" observation mode (``EnvConfig.obs_planes``) exposes the
+    queue spatially — one (H, W) binary plane per hand slot — instead of (or
+    alongside) integer piece ids, so CNN policies can convolve board and hand
+    together.  TPU-first: a slot's plane is ``one_hot(pid) @ this_table`` — a
+    tiny MXU matmul, no gather (CLAUDE.md hot-path rule).  The empty-slot
+    sentinel maps to the all-zero plane (the one-hot of ``num_pieces`` is the
+    zero vector).
+    """
+    grids = piece_grids(cfg.piece_set)
+    table = np.zeros((len(grids), cfg.num_cells), dtype=np.uint8)
+    for p, g in enumerate(grids):
+        plane = np.zeros((cfg.height, cfg.width), dtype=np.uint8)
+        plane[: g.shape[0], : g.shape[1]] = g
+        table[p] = plane.reshape(-1)
+    return table
+
+
 _TABLE_CACHE: Dict[EnvConfig, RuleTables] = {}
 
 

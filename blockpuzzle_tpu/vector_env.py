@@ -13,7 +13,8 @@ with the standard gymnasium ``_final_board`` presence mask.
 
 Documented deviation from gymnasium's SAME_STEP convention:
 ``infos["final_obs"]`` is a dict of BATCHED arrays (``{"board": (N, H, W),
-"queue": (N, S)}``) rather than a ``(N,)`` object array of per-env obs
+"queue": (N, S)}``, plus ``"piece_planes": (N, S, H, W)`` when
+``cfg.obs_planes``) rather than a ``(N,)`` object array of per-env obs
 dicts.  Batched arrays are the only layout that stays a single device
 transfer; generic wrappers that index ``final_obs[i]`` should use
 ``{k: v[i] for k, v in infos["final_obs"].items()}`` (or the flat
@@ -69,14 +70,17 @@ class BlockPuzzleVectorEnv(VectorEnv):
         self.render_mode = render_mode
 
         h, w, s = cfg.height, cfg.width, cfg.queue_size
-        self.single_observation_space = spaces.Dict(
-            {
-                "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
-                "queue": spaces.Box(
-                    0, self.engine.num_pieces, shape=(s,), dtype=np.int32
-                ),
-            }
-        )
+        obs_spaces = {
+            "board": spaces.Box(0, 1, shape=(h, w), dtype=np.uint8),
+            "queue": spaces.Box(
+                0, self.engine.num_pieces, shape=(s,), dtype=np.int32
+            ),
+        }
+        if cfg.obs_planes:
+            obs_spaces["piece_planes"] = spaces.Box(
+                0, 1, shape=(s, h, w), dtype=np.uint8
+            )
+        self.single_observation_space = spaces.Dict(obs_spaces)
         self.single_action_space = spaces.Discrete(cfg.num_actions())
         self.observation_space = batch_space(
             self.single_observation_space, num_envs
@@ -95,10 +99,13 @@ class BlockPuzzleVectorEnv(VectorEnv):
     # ------------------------------------------------------------------
 
     def _obs(self, ts) -> Dict[str, np.ndarray]:
-        return {
+        out = {
             "board": np.asarray(ts.board),
             "queue": np.asarray(ts.queue),
         }
+        if ts.piece_planes is not None:
+            out["piece_planes"] = np.asarray(ts.piece_planes)
+        return out
 
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[dict] = None
@@ -167,6 +174,10 @@ class BlockPuzzleVectorEnv(VectorEnv):
             final_queue = np.asarray(ts.info["final_queue"])
             # gymnasium SAME_STEP convention key...
             infos["final_obs"] = {"board": final_board, "queue": final_queue}
+            if "final_piece_planes" in ts.info:
+                infos["final_obs"]["piece_planes"] = np.asarray(
+                    ts.info["final_piece_planes"]
+                )
             infos["_final_obs"] = done
             # ...plus flat per-field arrays for vectorized consumers
             infos["final_board"] = final_board

@@ -54,6 +54,8 @@ def main() -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the best config's final TrainState here")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
+    p.add_argument("--queue-mode", choices=["embed", "planes"],
+                   default="embed")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     args = p.parse_args()
 
@@ -71,7 +73,7 @@ def main() -> int:
     env = make_env()
     ppo = PPO(env, PPOConfig(
         num_envs=args.num_envs, rollout_len=args.rollout_len,
-        torso=args.torso,
+        torso=args.torso, queue_mode=args.queue_mode,
     ))
     update = ppo.update_jit
 
@@ -141,6 +143,7 @@ def main() -> int:
         rec = {
             "config": name,
             "torso": args.torso,
+            "queue_mode": args.queue_mode,
             **c,
             "updates": args.updates,
             "greedy_return": round(ret, 1),

@@ -193,3 +193,27 @@ def test_out_of_range_action_is_illegal_noop():
         np.testing.assert_array_equal(
             np.asarray(ts2.reward), np.full(4, cfg.illegal_penalty, np.float32)
         )
+
+
+def test_int8_mask_dtype_bit_equal():
+    """mask_dtype="int8" (2x MXU rate on v5e) must match bf16 bit-for-bit.
+
+    Counts are <= 9 occupied cells per footprint plus the 1024 out-of-bounds
+    bias — exact in both s32 accumulation and bf16 — so the two paths are
+    required to agree exactly, not approximately.
+    """
+    cfg = tenten_config()
+    env16 = make_env(cfg)
+    env8 = make_env(cfg, mask_dtype="int8")
+    state, ts = env16.init_jit(jax.random.key(7), 64)
+    mask16 = ts.action_mask
+    for _ in range(20):
+        mask8 = jax.jit(env8.action_mask)(state.board, state.queue)
+        np.testing.assert_array_equal(np.asarray(mask16), np.asarray(mask8))
+        bits = jax.random.bits(
+            jax.random.fold_in(jax.random.key(0), int(state.rng_counter[0])),
+            mask16.shape, jnp.uint32,
+        )
+        a = jnp.argmax(jnp.where(mask16, bits, jnp.uint32(0)), axis=-1)
+        state, ts = jax.jit(env16.step)(state, a)
+        mask16 = ts.action_mask
