@@ -19,7 +19,12 @@ import optax
 from flax import struct
 
 from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
-from blockpuzzle_tpu.learn.networks import NEG_INF, QNetwork, select_along_last
+from blockpuzzle_tpu.learn.networks import (
+    NEG_INF,
+    QNetwork,
+    reroot_key,
+    select_along_last,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +46,7 @@ class DQNConfig:
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
     queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
+    sample_rng_impl: str = "rbg"  # see PPOConfig.sample_rng_impl
 
 
 @struct.dataclass
@@ -114,12 +120,8 @@ class DQN:
             filled=jnp.zeros((), jnp.int32),
         )
         del ts
-        # fast rbg PRNG for epsilon-greedy sampling (see PPO.init note)
-        k_run = jax.jit(
-            lambda k: jax.random.key(
-                jax.random.bits(k, (), dtype=jnp.uint32), impl="rbg"
-            )
-        )(k_run)
+        # fast PRNG for epsilon-greedy sampling (see PPOConfig note)
+        k_run = reroot_key(k_run, self.cfg.sample_rng_impl)
         return DQNState(
             params=params,
             # deep copy: sharing buffers with params would make state

@@ -220,6 +220,23 @@ class QNetwork(nn.Module):
         return jnp.where(action_mask, q, NEG_INF)
 
 
+def reroot_key(key: jax.Array, impl: str = "rbg") -> jax.Array:
+    """Re-root a PRNG key under ``impl`` (shared by PPO/DQN init).
+
+    ``rbg`` is the fast path for per-step sampling (~25% cheaper end-to-end
+    than threefry on v5e — docs/ARCHITECTURE.md), but JAX documents its
+    output as unstable across different shardings of the same computation;
+    pass ``impl="threefry2x32"`` where sharded-vs-unsharded runs must agree
+    bit-for-bit (e.g. the multichip dryrun's equivalence check).  Jitted:
+    eager key ops dispatch tiny remote compiles on the tunnel platform.
+    """
+    return jax.jit(
+        lambda k: jax.random.key(
+            jax.random.bits(k, (), dtype=jnp.uint32), impl=impl
+        )
+    )(key)
+
+
 def masked_categorical(key: jax.Array, logits: jax.Array) -> jax.Array:
     """Sample actions from masked logits."""
     return jax.random.categorical(key, logits, axis=-1)

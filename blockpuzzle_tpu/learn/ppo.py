@@ -54,6 +54,10 @@ class PPOConfig:
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
     queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
+    # PRNG impl for action sampling: "rbg" (fast path) or "threefry2x32"
+    # (sharding-stable — required when comparing sharded vs unsharded runs;
+    # see networks.reroot_key)
+    sample_rng_impl: str = "rbg"
 
 
 def default_hypers(cfg: PPOConfig) -> Dict[str, float]:
@@ -143,14 +147,9 @@ class PPO:
             k_net, ts.board[:1], ts.queue[:1], ts.action_mask[:1]
         )
         opt_state = self.tx.init(params)
-        # re-root the run key under the fast rbg PRNG (same trick as
-        # VecBlockPuzzle.init): action sampling happens every rollout step
-        # and rbg is ~25% cheaper than threefry on v5e (docs/ARCHITECTURE.md)
-        k_run = jax.jit(
-            lambda k: jax.random.key(
-                jax.random.bits(k, (), dtype=jnp.uint32), impl="rbg"
-            )
-        )(k_run)
+        # re-root the run key under the configured sampling PRNG (fast rbg
+        # by default — same trick as VecBlockPuzzle.init)
+        k_run = networks.reroot_key(k_run, self.cfg.sample_rng_impl)
         return TrainState(
             params=params,
             opt_state=opt_state,

@@ -91,10 +91,11 @@ class BlockPuzzleVectorEnv(VectorEnv):
         self._last_ts = None
         # plain jit (no donation): callers may hold references across steps
         self._step_fn = jax.jit(lambda st, a: self.engine.step(st, a))
-        # mask recompute for reset(options=...) state overrides
+        # mask/plane recompute for reset(options=...) state overrides
         self._mask_fn = jax.jit(
             lambda b, q: self.engine.action_mask(b, q)
         )
+        self._planes_fn = jax.jit(lambda q: self.engine.piece_planes(q))
 
     # ------------------------------------------------------------------
 
@@ -133,14 +134,18 @@ class BlockPuzzleVectorEnv(VectorEnv):
                     )
                 )
             if "queue" in options:
-                queue = jnp.asarray(
-                    np.asarray(options["queue"], dtype=np.int32)
-                )
-                if queue.shape != (self.num_envs, self.cfg.queue_size):
+                q_host = np.asarray(options["queue"], dtype=np.int32)
+                if q_host.shape != (self.num_envs, self.cfg.queue_size):
                     raise ValueError(
-                        f"options['queue'] shape {queue.shape} != "
+                        f"options['queue'] shape {q_host.shape} != "
                         f"{(self.num_envs, self.cfg.queue_size)}"
                     )
+                # same contract as the oracle's reset(options=...): bogus
+                # ids would otherwise act as silent dead slots (all-zero
+                # one-hot -> all-false mask, zero plane)
+                if np.any((q_host < 0) | (q_host > self.engine.empty_id)):
+                    raise ValueError("options['queue'] ids out of range")
+                queue = jnp.asarray(q_host)
             self._state = self._state.replace(board=board, queue=queue)
             ts = ts.replace(
                 board=board.reshape(
@@ -148,6 +153,9 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 ),
                 queue=queue,
                 action_mask=self._mask_fn(board, queue),
+                piece_planes=(
+                    self._planes_fn(queue) if self.cfg.obs_planes else None
+                ),
             )
         self._last_ts = ts
         infos = {"action_mask": np.asarray(ts.action_mask)}

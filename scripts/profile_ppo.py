@@ -84,7 +84,11 @@ def main() -> int:
     total = cfg.rollout_len * cfg.num_envs
     mb = total // cfg.num_minibatches
 
-    def epochs(params, opt_state, key, mode):
+    # batch tensors are passed as JIT ARGUMENTS, not closed over: device-
+    # resident closure constants are copied device->host during lowering
+    # (env/core.py table note — the exact pathology that wedged BENCH_r01),
+    # and here that would be ~80 MB x 4 variant compiles through the tunnel
+    def epochs(params, opt_state, key, batch_flat, adv_flat, ret_flat, mode):
         def one_epoch(carry, _):
             params, opt_state, key = carry
             key, k = jax.random.split(key)
@@ -139,9 +143,12 @@ def main() -> int:
         return losses.mean()
 
     for mode in ("perm", "noperm", "reshape", "roll"):
-        fn = jax.jit(lambda p, o, k, m=mode: epochs(p, o, k, m))
+        fn = jax.jit(
+            lambda p, o, k, bf, af, rf, m=mode: epochs(p, o, k, bf, af, rf, m)
+        )
         results[f"epochs_{mode}_ms"], _ = timed(
             fn, state.params, state.opt_state, state.key,
+            batch_flat, adv_flat, ret_flat,
             barrier=lambda o: o, label=f"epochs[{mode}]",
         )
 

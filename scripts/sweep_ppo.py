@@ -137,6 +137,11 @@ def main() -> int:
                     f"entropy {float(metrics['entropy']):.3f}",
                     file=sys.stderr,
                 )
+        # timing barrier: device_get of the LAST update's metrics — on the
+        # axon tunnel enqueued work is not done work (CLAUDE.md), so without
+        # this train_s/frames_per_s would exclude any updates still queued
+        # past the last log line
+        last_ret = float(metrics["episode_return"])
         train_s = time.time() - t0
         ret, n_eps = greedy_return(state.params, seed=10_000 + ci)
         frames = args.updates * args.num_envs * args.rollout_len

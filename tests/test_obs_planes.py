@@ -153,3 +153,21 @@ def test_dqn_planes_queue_mode_iteration():
     state = dqn.init(jax.random.key(0))
     state, metrics = jax.jit(dqn.iteration)(state)
     assert int(metrics["buffer_filled"]) == 16
+
+
+def test_vector_reset_options_refresh_planes_and_validate_queue():
+    """reset(options={'queue': ...}) must re-render planes and range-check
+    ids (code-review r2 findings #1/#4)."""
+    from blockpuzzle_tpu import rules
+    from blockpuzzle_tpu.vector_env import BlockPuzzleVectorEnv
+
+    venv = BlockPuzzleVectorEnv(num_envs=2, cfg=planes_cfg(default_config()))
+    queue = np.array([[3], [7]], np.int32)
+    obs, info = venv.reset(seed=0, options={"queue": queue})
+    table = rules.piece_plane_table(venv.cfg)
+    np.testing.assert_array_equal(
+        obs["piece_planes"].reshape(2, 1, -1),
+        table[queue.ravel()].reshape(2, 1, -1),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        venv.reset(seed=0, options={"queue": np.full((2, 1), 99, np.int32)})
