@@ -44,6 +44,11 @@ NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 32768))
 # bf16 MXU rate on v5e and is bit-identical here — measured 123.1M vs
 # 117.4M steps/s, docs/RESULTS.md); "bf16" selectable for comparison
 MASK_DTYPE = os.environ.get("BP_BENCH_MASK_DTYPE", "int8")
+# game preset ("default" headline; "tenten"/"woodoku"/"big" variant rows)
+PRESET = os.environ.get("BP_BENCH_PRESET", "default")
+# mask computation: "matmul" (all-pieces counts + selection) or "shift"
+# (ones-padded cross-correlation with the selected piece kernel)
+MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "matmul")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -91,7 +96,9 @@ def bench_device() -> float:
 
     enable_compilation_cache()
 
-    env = make_env(mask_dtype=MASK_DTYPE)
+    from blockpuzzle_tpu.config import PRESETS
+
+    env = make_env(PRESETS[PRESET](), mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL)
     state, ts = env.init_jit(jax.random.key(0), NUM_ENVS)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 

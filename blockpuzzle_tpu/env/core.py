@@ -54,6 +54,7 @@ class VecBlockPuzzle:
         backend: str = "jnp",
         rng_impl: str = "rbg",
         mask_dtype: str = "bf16",
+        mask_impl: str = "matmul",
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -65,15 +66,27 @@ class VecBlockPuzzle:
             dominant step cost): "bf16" (f32/bf16 MXU rate) or "int8"
             (s8×s8→s32 — 2× the bf16 MXU rate on v5e; exact, counts ≤ 9).
             Both are bit-identical in outcome; selectable for benchmarking.
+          mask_impl: how the per-hand action mask is computed.
+            "matmul": all-pieces counts matmul + one-hot selection — the
+            (N, P·HW) intermediate costs ~2·P·HW bytes/env of HBM traffic.
+            "shift": cross-correlate the board with the hand's ONE-HOT-
+            SELECTED piece kernel — a static loop over the piece bbox taps
+            (only offsets some piece occupies; 13 of 25 for classic19) of
+            shifted multiply-adds on a ones-padded board (padding makes
+            out-of-bounds anchors occupied ⇒ illegal automatically).
+            ~P× less compute and ~12× less HBM than "matmul"; bit-equal.
         """
         if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
         if mask_dtype not in ("bf16", "int8"):
             raise ValueError(f"unknown mask_dtype {mask_dtype!r}")
+        if mask_impl not in ("matmul", "shift"):
+            raise ValueError(f"unknown mask_impl {mask_impl!r}")
         self.cfg = cfg
         self.backend = backend
         self.rng_impl = rng_impl
         self.mask_dtype = mask_dtype
+        self.mask_impl = mask_impl
         t = rules.tables_for(cfg)
         self.tables = t
         self.num_pieces = t.num_pieces
@@ -153,6 +166,17 @@ class VecBlockPuzzle:
         self._plane_table_bf16 = np.asarray(
             rules.piece_plane_table(cfg), dtype=jnp.bfloat16
         )                                                      # (P, HW)
+        # shift mask impl: padded piece kernels (P, max_h*max_w) + the list
+        # of taps some piece actually occupies (static; 13/25 for classic19)
+        self._piece_kernel_bf16 = np.asarray(
+            t.pieces.reshape(t.num_pieces, -1), dtype=jnp.bfloat16
+        )
+        self._kernel_taps = [
+            (dr, dc)
+            for dr in range(t.max_h)
+            for dc in range(t.max_w)
+            if t.pieces[:, dr, dc].any()
+        ]
 
         if backend in ("pallas", "hybrid"):
             # deferred import: kernels pull in pallas machinery
@@ -246,6 +270,8 @@ class VecBlockPuzzle:
             if n % min(self._k_mask.tile_n, n) == 0:
                 return self._k_mask(board, queue, interpret=self._interpret)
             # ragged batch: jnp fallback below
+        if self.mask_impl == "shift":
+            return self._action_mask_shift(board, queue)
         # compare BEFORE selection so the == 0 fuses into the matmul
         # epilogue and the all-pieces intermediate is bool (half the HBM
         # traffic of bf16 counts)
@@ -268,6 +294,50 @@ class VecBlockPuzzle:
                 + self._counts_adj
             ) == 0  # (N, P*HW) bool; legal AND in bounds
         return self._mask_from_counts(legal_all, queue)
+
+    def _action_mask_shift(
+        self, board: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        """Gather-free hand mask WITHOUT the (N, P·HW) intermediate.
+
+        Anchor (r, c) is legal for the slot's piece iff the piece's cells
+        all land on empty in-bounds board cells — i.e. the cross-correlation
+        of the board with the piece kernel is zero at (r, c).  The kernel is
+        the ONE-HOT-SELECTED piece (tiny MXU matmul, no gather); the board
+        is padded with ONES on the bottom/right so any out-of-bounds cell
+        reads as occupied (out-of-bounds anchors auto-fail, replacing the
+        matmul path's +1024 bias).  Counts ≤ 9 + taps are bf16-exact, so the
+        result is BIT-equal to the matmul path (tested).
+        """
+        cfg = self.cfg
+        t = self.tables
+        n = board.shape[0]
+        b3 = board.reshape(n, cfg.height, cfg.width)
+        padded = jnp.pad(
+            b3,
+            ((0, 0), (0, t.max_h - 1), (0, t.max_w - 1)),
+            constant_values=1,
+        ).astype(jnp.bfloat16)
+        masks = []
+        for s in range(cfg.queue_size):
+            pid_s = queue[:, s]
+            oh = self._piece_onehot(pid_s)                        # (N, P)
+            kern = jnp.dot(
+                oh, self._piece_kernel_bf16,
+                preferred_element_type=jnp.bfloat16,
+            )                                                     # (N, mh*mw)
+            acc = jnp.zeros((n, cfg.height, cfg.width), jnp.bfloat16)
+            for dr, dc in self._kernel_taps:
+                acc = acc + (
+                    kern[:, dr * t.max_w + dc, None, None]
+                    * padded[:, dr : dr + cfg.height, dc : dc + cfg.width]
+                )
+            m = jnp.logical_and(
+                (acc == 0).reshape(n, cfg.num_cells),
+                (pid_s < self.num_pieces)[:, None],
+            )
+            masks.append(m)
+        return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
 
     def _mask_from_counts(
         self, legal_all: jax.Array, queue: jax.Array
@@ -671,6 +741,7 @@ def make_env(
     backend: str = "jnp",
     rng_impl: str = "rbg",
     mask_dtype: str = "bf16",
+    mask_impl: str = "matmul",
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:
@@ -681,5 +752,9 @@ def make_env(
 
     enable_compilation_cache()
     return VecBlockPuzzle(
-        cfg, backend=backend, rng_impl=rng_impl, mask_dtype=mask_dtype
+        cfg,
+        backend=backend,
+        rng_impl=rng_impl,
+        mask_dtype=mask_dtype,
+        mask_impl=mask_impl,
     )

@@ -217,3 +217,56 @@ def test_int8_mask_dtype_bit_equal():
         a = jnp.argmax(jnp.where(mask16, bits, jnp.uint32(0)), axis=-1)
         state, ts = jax.jit(env16.step)(state, a)
         mask16 = ts.action_mask
+
+
+@pytest.mark.parametrize("cfg_fn", [default_config, tenten_config, woodoku_config])
+def test_shift_mask_impl_bit_equal(cfg_fn):
+    """mask_impl="shift" (padded cross-correlation, no (N, P*HW)
+    intermediate) must match the matmul path bit-for-bit across a rollout."""
+    cfg = cfg_fn()
+    env_m = make_env(cfg)
+    env_s = make_env(cfg, mask_impl="shift")
+    state, ts = env_m.init_jit(jax.random.key(11), 64)
+    mask_m = ts.action_mask
+    shift_mask = jax.jit(env_s.action_mask)
+    for i in range(25):
+        np.testing.assert_array_equal(
+            np.asarray(mask_m),
+            np.asarray(shift_mask(state.board, state.queue)),
+            err_msg=f"step {i}",
+        )
+        bits = jax.random.bits(
+            jax.random.fold_in(jax.random.key(1), i), mask_m.shape, jnp.uint32
+        )
+        a = jnp.argmax(jnp.where(mask_m, bits, jnp.uint32(0)), axis=-1)
+        state, ts = jax.jit(env_m.step)(state, a)
+        mask_m = ts.action_mask
+
+
+def test_shift_mask_full_step_rollout_bit_equal():
+    """A full auto-reset rollout under the shift engine equals the matmul
+    engine (the mask feeds termination and auto-reset)."""
+    cfg = tenten_config()
+    env_m = make_env(cfg)
+    env_s = make_env(cfg, mask_impl="shift")
+
+    def rollout(env):
+        state, ts = env.init_jit(jax.random.key(3), 32)
+
+        def body(carry, i):
+            state, mask = carry
+            bits = jax.random.bits(
+                jax.random.fold_in(jax.random.key(2), i), mask.shape,
+                jnp.uint32,
+            )
+            a = jnp.argmax(jnp.where(mask, bits, jnp.uint32(0)), axis=-1)
+            state, ts = env.step(state, a)
+            return (state, ts.action_mask), (ts.reward, ts.board, ts.queue)
+
+        (_, _), out = jax.lax.scan(
+            jax.jit(body), (state, ts.action_mask), jnp.arange(80)
+        )
+        return jax.tree.map(np.asarray, out)
+
+    for a, b in zip(rollout(env_m), rollout(env_s)):
+        np.testing.assert_array_equal(a, b)
