@@ -151,8 +151,14 @@ def main(argv=None) -> int:
             target_update_every=args.target_update, torso=args.torso,
             queue_mode=args.queue_mode,
         ))
+        from blockpuzzle_tpu.learn import default_dqn_hypers
+
         dqn_step = learner.iteration_jit
-        step_fn = lambda state, update: dqn_step(state)
+        # lr/eps/gamma as runtime scalars (host-computed schedule): every
+        # eps/lr sweep point shares one compiled program (cf. PPO hypers)
+        step_fn = lambda state, update: dqn_step(
+            state, default_dqn_hypers(learner.cfg, update)
+        )
         steps_per_call = args.num_envs * learner.cfg.collect_steps
 
     state = learner.init(jax.random.key(args.seed))

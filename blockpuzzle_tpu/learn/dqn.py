@@ -27,6 +27,21 @@ from blockpuzzle_tpu.learn.networks import (
 )
 
 
+def default_dqn_hypers(cfg: "DQNConfig", iteration: int = 0) -> Dict[str, float]:
+    """Runtime-tunable DQN hyperparameters at their config values.
+
+    Mirrors ``ppo.default_hypers``: pass (host-computed) schedules to
+    ``DQN.iteration(state, hypers)`` every iteration without recompiling.
+    ``eps`` follows the config's linear decay at ``iteration``.
+    """
+    frac = min(max(iteration / cfg.eps_decay_iters, 0.0), 1.0)
+    return {
+        "lr": cfg.lr,
+        "eps": cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start),
+        "gamma": cfg.gamma,
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class DQNConfig:
     num_envs: int = 1024
@@ -96,9 +111,12 @@ class DQN:
             channels=self.cfg.channels, hidden=self.cfg.hidden,
             arch=self.cfg.torso, queue_mode=self.cfg.queue_mode,
         )
+        # Direction-only optimizer: lr is applied in the iteration so it
+        # can be a RUNTIME scalar (``hypers`` — same one-compile-per-sweep
+        # pattern as PPO.update; see ppo.default_hypers)
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.max_grad_norm),
-            optax.adam(self.cfg.lr),
+            optax.scale_by_adam(),
         )
 
     def init(self, key: jax.Array) -> DQNState:
@@ -216,8 +234,11 @@ class DQN:
 
     # ------------------------------------------------------------------
 
-    def _td_loss(self, params, target_params, sample) -> Tuple[jax.Array, Dict]:
+    def _td_loss(
+        self, params, target_params, sample, gamma=None
+    ) -> Tuple[jax.Array, Dict]:
         cfg, env_cfg = self.cfg, self.env.cfg
+        gamma = cfg.gamma if gamma is None else gamma
         h, w = env_cfg.board_shape
         q = self.net.apply(
             params,
@@ -238,17 +259,32 @@ class DQN:
         q_next = select_along_last(q_next_target, a_star)
         # terminal states (no legal action) bootstrap to 0
         q_next = jnp.where(sample["terminated"], 0.0, q_next)
-        target = sample["reward"] + cfg.gamma * q_next
+        target = sample["reward"] + gamma * q_next
         td = q_sa - jax.lax.stop_gradient(target)
         loss = jnp.square(td).mean()
         return loss, {"loss": loss, "q_mean": q_sa.mean(), "td_abs": jnp.abs(td).mean()}
 
     # ------------------------------------------------------------------
 
-    def iteration(self, state: DQNState) -> Tuple[DQNState, Dict[str, jax.Array]]:
-        """collect_steps env steps + grad_steps TD updates, all on device."""
+    def iteration(
+        self, state: DQNState, hypers: Optional[Dict[str, Any]] = None
+    ) -> Tuple[DQNState, Dict[str, jax.Array]]:
+        """collect_steps env steps + grad_steps TD updates, all on device.
+
+        ``hypers`` (see ``default_dqn_hypers``) optionally carries lr /
+        epsilon / gamma as runtime scalars so schedules and sweeps reuse
+        one compiled program; omitted values fall back to the config
+        constants (epsilon then follows the built-in linear decay).
+        """
         cfg = self.cfg
-        eps = self._epsilon(state.iter_count)
+        if hypers is None:
+            lr: Any = cfg.lr
+            eps: Any = self._epsilon(state.iter_count)
+            gamma: Any = cfg.gamma
+        else:
+            lr = hypers["lr"]
+            eps = hypers["eps"]
+            gamma = hypers["gamma"]
 
         def collect(carry, _):
             env_state, board, queue, mask, replay, key = carry
@@ -294,10 +330,14 @@ class DQN:
             )
             sample = self._unpack(replay.bytes_buf[idx], replay.float_buf[idx])
             grads, metrics = jax.grad(self._td_loss, has_aux=True)(
-                params, target_params, sample
+                params, target_params, sample, gamma
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            # tx is direction-only (scale_by_adam); apply -lr here so lr
+            # stays a runtime input (no recompile on anneal/sweep)
+            params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -lr * u, updates)
+            )
             grad_count = grad_count + 1
             target_params = jax.tree.map(
                 lambda t, p: jnp.where(

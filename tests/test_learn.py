@@ -261,3 +261,48 @@ def test_ppo_update_on_tenten_preset():
     state, metrics = ppo.update_jit(state)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["illegal_action_rate"]) == 0.0  # masked policy
+
+
+def test_dqn_runtime_hypers_match_static(env):
+    """iteration(state, default_dqn_hypers(cfg, it)) == iteration(state)
+    bit-for-bit (mirrors the PPO runtime-hypers equivalence test)."""
+    from blockpuzzle_tpu.learn import default_dqn_hypers
+
+    cfg = DQNConfig(
+        num_envs=8, buffer_size=64, batch_size=8, collect_steps=2,
+        min_buffer=4, hidden=16, channels=(4,),
+    )
+    dqn = DQN(env, cfg)
+    s_static = dqn.init(jax.random.key(3))
+    s_hyper = dqn.init(jax.random.key(3))
+    it_static = jax.jit(dqn.iteration)
+    it_hyper = jax.jit(lambda s, h: dqn.iteration(s, h))
+    for it in range(3):
+        s_static, m_static = it_static(s_static)
+        s_hyper, m_hyper = it_hyper(s_hyper, default_dqn_hypers(cfg, it))
+        for k in ("loss", "q_mean", "epsilon"):
+            assert float(m_static[k]) == float(m_hyper[k]), (k, it)
+    for a, b in zip(
+        jax.tree.leaves(s_static.params), jax.tree.leaves(s_hyper.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dqn_runtime_lr_is_live(env):
+    """lr=0 through hypers must freeze params (proves lr is runtime)."""
+    from blockpuzzle_tpu.learn import default_dqn_hypers
+
+    cfg = DQNConfig(
+        num_envs=8, buffer_size=64, batch_size=8, collect_steps=2,
+        min_buffer=4, hidden=16, channels=(4,),
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(4))
+    # warm the buffer first so the grad path actually runs
+    state, _ = jax.jit(dqn.iteration)(state)
+    p0 = jax.tree.map(np.array, state.params)
+    h = dict(default_dqn_hypers(cfg, 1), lr=0.0)
+    state, metrics = jax.jit(lambda s, hh: dqn.iteration(s, hh))(state, h)
+    assert int(metrics["buffer_filled"]) > 0
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
