@@ -54,6 +54,8 @@ def main() -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the best config's final TrainState here")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
+    p.add_argument("--preset", choices=["default", "tenten", "woodoku", "big"],
+                   default="default")
     p.add_argument("--queue-mode", choices=["embed", "planes"],
                    default="embed")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
@@ -65,12 +67,13 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from blockpuzzle_tpu.config import PRESETS
     from blockpuzzle_tpu.env import make_env
     from blockpuzzle_tpu.learn import PPO, PPOConfig
     from blockpuzzle_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    env = make_env()
+    env = make_env(PRESETS[args.preset]())
     ppo = PPO(env, PPOConfig(
         num_envs=args.num_envs, rollout_len=args.rollout_len,
         torso=args.torso, queue_mode=args.queue_mode,
@@ -147,6 +150,7 @@ def main() -> int:
         frames = args.updates * args.num_envs * args.rollout_len
         rec = {
             "config": name,
+            "preset": args.preset,
             "torso": args.torso,
             "queue_mode": args.queue_mode,
             **c,
