@@ -46,9 +46,10 @@ NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 32768))
 MASK_DTYPE = os.environ.get("BP_BENCH_MASK_DTYPE", "int8")
 # game preset ("default" headline; "tenten"/"woodoku"/"big" variant rows)
 PRESET = os.environ.get("BP_BENCH_PRESET", "default")
-# mask computation: "matmul" (all-pieces counts + selection) or "shift"
-# (ones-padded cross-correlation with the selected piece kernel)
-MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "matmul")
+# mask computation: "shift" default (ones-padded cross-correlation with the
+# selected piece kernel — no (N, P*HW) intermediate; measured 145.2M vs
+# 123.1M steps/s for "matmul", docs/RESULTS.md); "matmul" for comparison
+MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "shift")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
