@@ -80,8 +80,11 @@ def main(argv=None) -> int:
     # round up to 64); the scan length is static per jit compile
     chunk_len = max(1, min(64, args.steps))
 
+    # params enter as a JIT ARGUMENT, not a closure: device-resident
+    # closure constants are copied device->host during lowering through
+    # the fragile tunnel (env/core.py table note / BENCH_r01 pathology)
     @jax.jit
-    def chunk(env_state, board, queue, mask, key):
+    def chunk(params, env_state, board, queue, mask, key):
         def body(carry, _):
             env_state, board, queue, mask, key = carry
             key, sub = jax.random.split(key)
@@ -117,7 +120,7 @@ def main(argv=None) -> int:
     tot_r = tot_ep_r = tot_ep_len = tot_eps = 0.0
     n_chunks = max(-(-args.steps // chunk_len), 1)
     for _ in range(n_chunks):
-        carry, (r, ep_r, ep_len, eps) = chunk(*carry)
+        carry, (r, ep_r, ep_len, eps) = chunk(params, *carry)
         tot_r += float(r)
         tot_ep_r += float(ep_r)
         tot_ep_len += float(ep_len)
