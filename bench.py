@@ -38,11 +38,13 @@ import time
 import os
 
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
-# best measured batch (docs/RESULTS.md); env var overrides for experiments
-NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 32768))
-# legality-matmul operand dtype: "int8" default (s8xs8->s32 runs at 2x the
-# bf16 MXU rate on v5e and is bit-identical here — measured 123.1M vs
-# 117.4M steps/s, docs/RESULTS.md); "bf16" selectable for comparison
+# best measured batch (docs/RESULTS.md: 151.4M steps/s at 49152 vs 145.2M
+# at 32768 and 149.7M at 65536); env var overrides for experiments
+NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 49152))
+# legality-matmul operand dtype — ONLY read by BP_BENCH_MASK_IMPL=matmul
+# (the shift impl computes in bf16 throughout): "int8" (s8xs8->s32 runs at
+# 2x the bf16 MXU rate on v5e and is bit-identical here — measured 123.1M
+# vs 117.4M steps/s, docs/RESULTS.md) or "bf16"
 MASK_DTYPE = os.environ.get("BP_BENCH_MASK_DTYPE", "int8")
 # game preset ("default" headline; "tenten"/"woodoku"/"big" variant rows)
 PRESET = os.environ.get("BP_BENCH_PRESET", "default")
@@ -245,6 +247,30 @@ def _device_value_resilient() -> "tuple[float, str | None]":
 
 
 def main() -> int:
+    # Fail fast on knob typos BEFORE the subprocess loop: a deterministic
+    # config error in the worker would otherwise be indistinguishable from
+    # a tunnel failure and retried for the whole 55-min device budget.
+    from blockpuzzle_tpu.config import PRESETS
+
+    for name, value, allowed in (
+        ("BP_BENCH_PRESET", PRESET, sorted(PRESETS)),
+        ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift"]),
+        ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
+    ):
+        if value not in allowed:
+            print(
+                json.dumps(
+                    {
+                        "metric": "env_steps_per_s_per_chip",
+                        "value": 0,
+                        "unit": "steps/s",
+                        "vs_baseline": 0.0,
+                        "error": f"{name}={value!r} not in {allowed}",
+                    }
+                )
+            )
+            return 0
+
     oracle_sps = bench_oracle()
     print(
         f"[bench] oracle single-env: {oracle_sps:,.0f} steps/s (1 CPU core)",

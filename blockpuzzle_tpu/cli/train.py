@@ -169,7 +169,20 @@ def main(argv=None) -> int:
     start = 0
     if ckpt and args.resume and ckpt.latest_step() is not None:
         start = ckpt.latest_step()
-        state = ckpt.restore(state)
+        try:
+            state = ckpt.restore(state)
+        except Exception as e:
+            # Most common cause: the checkpoint predates an optimizer-layout
+            # change (e.g. DQN's adam -> scale_by_adam refactor changed the
+            # opt_state pytree structure). Surface that instead of orbax's
+            # structure-mismatch traceback.
+            raise SystemExit(
+                f"--resume failed: checkpoint at {args.checkpoint_dir} does "
+                f"not match the current TrainState layout (often an "
+                f"optimizer-layout change between versions). Weights are "
+                f"still usable: cli.evaluate restores params-only from "
+                f"mismatched checkpoints. Original error: {e}"
+            )
         print(f"resumed from update {start}")
 
     logger = MetricsLogger(args.log_dir, run_name=f"{args.algo}-{args.preset}")

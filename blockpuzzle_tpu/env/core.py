@@ -54,7 +54,7 @@ class VecBlockPuzzle:
         backend: str = "jnp",
         rng_impl: str = "rbg",
         mask_dtype: str = "bf16",
-        mask_impl: str = "matmul",
+        mask_impl: str = "shift",
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -67,14 +67,17 @@ class VecBlockPuzzle:
             (s8×s8→s32 — 2× the bf16 MXU rate on v5e; exact, counts ≤ 9).
             Both are bit-identical in outcome; selectable for benchmarking.
           mask_impl: how the per-hand action mask is computed.
+            "shift" (default): cross-correlate the board with the hand's
+            ONE-HOT-SELECTED piece kernel — a static loop over the piece
+            bbox taps (only offsets some piece occupies; 13 of 25 for
+            classic19) of shifted multiply-adds on a ones-padded board
+            (padding makes out-of-bounds anchors occupied ⇒ illegal
+            automatically).  ~P× less compute and ~12× less HBM than
+            "matmul"; bit-equal (tested); 145.2M vs 123.1M steps/s on v5e.
             "matmul": all-pieces counts matmul + one-hot selection — the
             (N, P·HW) intermediate costs ~2·P·HW bytes/env of HBM traffic.
-            "shift": cross-correlate the board with the hand's ONE-HOT-
-            SELECTED piece kernel — a static loop over the piece bbox taps
-            (only offsets some piece occupies; 13 of 25 for classic19) of
-            shifted multiply-adds on a ones-padded board (padding makes
-            out-of-bounds anchors occupied ⇒ illegal automatically).
-            ~P× less compute and ~12× less HBM than "matmul"; bit-equal.
+            Kept selectable for benchmarking and as the mask_dtype=int8
+            MXU-rate demonstration path.
         """
         if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -741,7 +744,7 @@ def make_env(
     backend: str = "jnp",
     rng_impl: str = "rbg",
     mask_dtype: str = "bf16",
-    mask_impl: str = "matmul",
+    mask_impl: str = "shift",
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:

@@ -34,7 +34,13 @@ def default_dqn_hypers(cfg: "DQNConfig", iteration: int = 0) -> Dict[str, float]
     ``DQN.iteration(state, hypers)`` every iteration without recompiling.
     ``eps`` follows the config's linear decay at ``iteration``.
     """
-    frac = min(max(iteration / cfg.eps_decay_iters, 0.0), 1.0)
+    # eps_decay_iters <= 0 means "no decay": jump straight to eps_end
+    # (matches the old device-side it/0 -> inf -> clip -> 1.0 behavior
+    # without the host ZeroDivisionError).
+    if cfg.eps_decay_iters <= 0:
+        frac = 1.0
+    else:
+        frac = min(max(iteration / cfg.eps_decay_iters, 0.0), 1.0)
     return {
         "lr": cfg.lr,
         "eps": cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start),

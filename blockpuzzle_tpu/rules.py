@@ -174,6 +174,16 @@ def build_tables(cfg: EnvConfig) -> RuleTables:
     piece_h = np.zeros(num_pieces, dtype=np.int32)
     piece_w = np.zeros(num_pieces, dtype=np.int32)
     for p, g in enumerate(grids):
+        # Every grid must be a MINIMAL bounding box (occupied cells in the
+        # first/last row and column).  The shift mask impl derives legality
+        # purely from occupied taps + ones-padding, so a piece declared
+        # larger than its occupied bbox would make shift more permissive
+        # than the valid-anchor table (silent shift/matmul/oracle desync).
+        if not (g[0].any() and g[-1].any() and g[:, 0].any() and g[:, -1].any()):
+            raise ValueError(
+                f"piece {p} of set {cfg.piece_set!r} has a non-minimal "
+                f"bounding box {g.shape}; trim empty border rows/cols"
+            )
         pieces[p, : g.shape[0], : g.shape[1]] = g
         piece_h[p], piece_w[p] = g.shape
     piece_cells = pieces.reshape(num_pieces, -1).sum(axis=1).astype(np.int32)

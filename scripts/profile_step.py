@@ -26,7 +26,11 @@ def main() -> int:
     p.add_argument("--chunk", type=int, default=100)
     p.add_argument("--chunks", type=int, default=3, help="traced chunks")
     p.add_argument("--unroll", type=int, default=4)
-    p.add_argument("--mask-dtype", choices=["bf16", "int8"], default="int8")
+    p.add_argument("--mask-dtype", choices=["bf16", "int8"], default="int8",
+                   help="legality-matmul operand dtype (matmul impl only)")
+    p.add_argument("--mask-impl", choices=["shift", "matmul"],
+                   default="shift", help="match bench.py's default")
+    p.add_argument("--preset", default="default")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     p.add_argument("--top", type=int, default=15)
     args = p.parse_args()
@@ -42,7 +46,13 @@ def main() -> int:
     from blockpuzzle_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    env = make_env(mask_dtype=args.mask_dtype)
+    from blockpuzzle_tpu.config import PRESETS
+
+    env = make_env(
+        PRESETS[args.preset](),
+        mask_dtype=args.mask_dtype,
+        mask_impl=args.mask_impl,
+    )
     state, ts = env.init_jit(jax.random.key(0), args.num_envs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -120,7 +130,9 @@ def main() -> int:
         )
     print(json.dumps({
         "num_envs": args.num_envs,
+        "mask_impl": args.mask_impl,
         "mask_dtype": args.mask_dtype,
+        "preset": args.preset,
         "steps": n_steps,
         "device_total_us_per_step": round(total_us / n_steps, 2),
         "top_ops": rows,

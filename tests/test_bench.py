@@ -74,3 +74,16 @@ def test_worker_json_is_last_line_parseable(monkeypatch):
     monkeypatch.setattr(bench, "_run_sub", lambda f, t: next(seq))
     value, error = bench._device_value_resilient()
     assert value == 2e7 and error is None
+
+
+def test_main_fails_fast_on_bad_preset(monkeypatch, capsys):
+    """A knob typo must not be retried against the 55-min device budget."""
+    monkeypatch.setattr(bench, "PRESET", "tentn")  # typo
+    monkeypatch.setattr(
+        bench, "_device_value_resilient",
+        lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+    )
+    rc = bench.main()
+    assert rc == 0
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["value"] == 0 and "BP_BENCH_PRESET" in parsed["error"]

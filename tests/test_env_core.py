@@ -270,3 +270,9 @@ def test_shift_mask_full_step_rollout_bit_equal():
 
     for a, b in zip(rollout(env_m), rollout(env_s)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_make_env_defaults_to_shift_mask():
+    """shift won the hardware head-to-head (docs/RESULTS.md); it is the
+    production default for every consumer, not just bench.py."""
+    assert make_env(default_config()).mask_impl == "shift"

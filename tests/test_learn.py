@@ -306,3 +306,12 @@ def test_dqn_runtime_lr_is_live(env):
     assert int(metrics["buffer_filled"]) > 0
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dqn_hypers_zero_decay_is_constant_eps_end():
+    """eps_decay_iters=0 means no decay (was ZeroDivisionError)."""
+    from blockpuzzle_tpu.learn import default_dqn_hypers
+
+    cfg = DQNConfig(eps_decay_iters=0, eps_start=1.0, eps_end=0.07)
+    for it in (0, 1, 100):
+        assert default_dqn_hypers(cfg, it)["eps"] == pytest.approx(0.07)

@@ -77,3 +77,16 @@ def test_config_validation():
 def test_table_cache_identity():
     cfg = default_config()
     assert rules.tables_for(cfg) is rules.tables_for(EnvConfig())
+
+
+def test_non_minimal_piece_bbox_rejected(monkeypatch):
+    """A grid with an empty border row/col must fail table build loudly.
+
+    The shift mask impl derives legality from occupied taps + ones-padding
+    only, so a non-minimal bbox would silently make it more permissive
+    than the valid-anchor table (code-review r2 finding).
+    """
+    bad = np.array([[1, 1, 0], [1, 0, 0], [0, 0, 0]], dtype=np.uint8)
+    monkeypatch.setattr(rules, "piece_grids", lambda name: [bad])
+    with pytest.raises(ValueError, match="non-minimal"):
+        rules.build_tables(default_config())
