@@ -40,7 +40,9 @@ import os
 BASELINE_STEPS_PER_S = 10_000_000  # BASELINE.json north_star target
 # best measured batch (docs/RESULTS.md: 151.4M steps/s at 49152 vs 145.2M
 # at 32768 and 149.7M at 65536); env var overrides for experiments
-NUM_ENVS = int(os.environ.get("BP_BENCH_NUM_ENVS", 49152))
+# parsed in main()/bench_device() (NOT at import) so a malformed value
+# produces the contract JSON line instead of an import-time traceback
+NUM_ENVS_RAW = os.environ.get("BP_BENCH_NUM_ENVS", "49152")
 # legality-matmul operand dtype — ONLY read by BP_BENCH_MASK_IMPL=matmul
 # (the shift impl computes in bf16 throughout): "int8" (s8xs8->s32 runs at
 # 2x the bf16 MXU rate on v5e and is bit-identical here — measured 123.1M
@@ -61,7 +63,13 @@ HEALTH_TIMEOUT_S = 180             # tiny matmul on a healthy tunnel: ~2 s
 WORKER_TIMEOUT_S = 1800            # covers a cold-cache remote compile
 DEVICE_BUDGET_S = 55 * 60          # total wall budget for the device phase
                                    # (tunnel self-recovers in ~20-30 min)
-BACKOFF_S = (30, 60, 120, 240, 300)
+# Backoff between device attempts: one quick retry for transient blips,
+# then ONE long quiet wait sized to the tunnel's documented 20-30 min
+# self-recovery (repeated short-interval health probes each get killed at
+# HEALTH_TIMEOUT_S, and repeated kills compound the wedge — see
+# .claude/skills/verify/SKILL.md), then short tail retries against
+# whatever budget remains.
+BACKOFF_S = (60, 1500, 300, 300)
 
 
 def bench_oracle(max_steps: int = 2000) -> float:
@@ -101,8 +109,10 @@ def bench_device() -> float:
 
     from blockpuzzle_tpu.config import PRESETS
 
+    num_envs = int(NUM_ENVS_RAW)  # validated in main() before the worker runs
+
     env = make_env(PRESETS[PRESET](), mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL)
-    state, ts = env.init_jit(jax.random.key(0), NUM_ENVS)
+    state, ts = env.init_jit(jax.random.key(0), num_envs)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -114,9 +124,13 @@ def bench_device() -> float:
             # action, argmax over legal slots picks uniformly (tie odds
             # ~2^-32).  categorical() would spend two transcendentals
             # (log/exp) per (N, A) element on the VPU — ~60M/step at this
-            # batch — for the same distribution.
+            # batch — for the same distribution.  `| 1` keeps every legal
+            # draw strictly above the illegal 0s, so even an all-zero draw
+            # row cannot argmax onto an illegal action.
             bits = jax.random.bits(sub, mask.shape, jnp.uint32)
-            a = jnp.argmax(jnp.where(mask, bits, jnp.uint32(0)), axis=-1)
+            a = jnp.argmax(
+                jnp.where(mask, bits | jnp.uint32(1), jnp.uint32(0)), axis=-1
+            )
             state, ts = env.step(state, a)
             return (state, ts.action_mask, key), ts.reward.sum()
 
@@ -140,7 +154,7 @@ def bench_device() -> float:
         for _ in range(ITERS):
             state, mask, key, r = chunk(state, mask, key)
         float(r)  # completion barrier (see note above)
-        rate = ITERS * CHUNK * NUM_ENVS / (time.time() - t0)
+        rate = ITERS * CHUNK * num_envs / (time.time() - t0)
         print(f"[bench] window {w}: {rate / 1e6:.2f}M steps/s", file=sys.stderr)
         rates.append(rate)
     rates.sort()
@@ -224,7 +238,7 @@ def _device_value_resilient() -> "tuple[float, str | None]":
             for line in reversed(r.stdout.strip().splitlines()):
                 try:
                     return float(json.loads(line)["value"]), None
-                except (json.JSONDecodeError, KeyError, ValueError):
+                except (json.JSONDecodeError, KeyError, ValueError, TypeError):
                     continue
             last_err = "worker produced no parseable JSON"
         else:
@@ -252,24 +266,36 @@ def main() -> int:
     # a tunnel failure and retried for the whole 55-min device budget.
     from blockpuzzle_tpu.config import PRESETS
 
+    def _knob_error(msg: str) -> int:
+        print(
+            json.dumps(
+                {
+                    "metric": "env_steps_per_s_per_chip",
+                    "value": 0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": msg,
+                }
+            )
+        )
+        return 0
+
     for name, value, allowed in (
         ("BP_BENCH_PRESET", PRESET, sorted(PRESETS)),
         ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift"]),
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
     ):
         if value not in allowed:
-            print(
-                json.dumps(
-                    {
-                        "metric": "env_steps_per_s_per_chip",
-                        "value": 0,
-                        "unit": "steps/s",
-                        "vs_baseline": 0.0,
-                        "error": f"{name}={value!r} not in {allowed}",
-                    }
-                )
+            return _knob_error(f"{name}={value!r} not in {allowed}")
+    try:
+        if int(NUM_ENVS_RAW) <= 0:
+            return _knob_error(
+                f"BP_BENCH_NUM_ENVS={NUM_ENVS_RAW!r} must be positive"
             )
-            return 0
+    except ValueError:
+        return _knob_error(
+            f"BP_BENCH_NUM_ENVS={NUM_ENVS_RAW!r} is not an integer"
+        )
 
     oracle_sps = bench_oracle()
     print(

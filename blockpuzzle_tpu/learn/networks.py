@@ -84,10 +84,16 @@ class Torso(nn.Module):
             if self.queue_mode == "planes":
                 flat_planes = planes.reshape(*planes.shape[:-2], -1)
                 x = jnp.concatenate([x, flat_planes], axis=-1)
+            # column-parallel like hidden_proj: the (cells, width) kernel is
+            # the mlp torso's dominant matmul — without the annotation it
+            # silently replicates under tp>1 (GSPMD all-gathers the sharded
+            # activation before hidden_proj; correct either way)
             x = nn.Dense(
                 self.mlp_width,
                 dtype=jnp.bfloat16,
-                kernel_init=nn.initializers.he_normal(),
+                kernel_init=nn.with_partitioning(
+                    nn.initializers.he_normal(), (None, "tp")
+                ),
                 name="mlp_0",
             )(x)
             x = nn.relu(x)

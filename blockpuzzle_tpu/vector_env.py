@@ -128,10 +128,24 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 raise ValueError(f"unknown reset options: {sorted(unknown)}")
             board, queue = self._state.board, self._state.queue
             if "board" in options:
-                board = jnp.asarray(
-                    np.asarray(options["board"], dtype=np.uint8).reshape(
-                        self.num_envs, self.cfg.num_cells
+                b_host = np.asarray(options["board"], dtype=np.uint8)
+                want = (
+                    (self.num_envs, self.cfg.height, self.cfg.width),
+                    (self.num_envs, self.cfg.num_cells),
+                )
+                if b_host.shape not in want:
+                    # a bare reshape would silently reinterpret e.g. a
+                    # transposed (HW, N) array as N wrong boards — the
+                    # oracle's reset raises on shape mismatch, so do we
+                    raise ValueError(
+                        f"options['board'] shape {b_host.shape} not in {want}"
                     )
+                if np.any(b_host > 1):
+                    # non-binary cells would desync the engine's
+                    # count==size clear test from the oracle's .all()
+                    raise ValueError("options['board'] cells must be 0/1")
+                board = jnp.asarray(
+                    b_host.reshape(self.num_envs, self.cfg.num_cells)
                 )
             if "queue" in options:
                 q_host = np.asarray(options["queue"], dtype=np.int32)

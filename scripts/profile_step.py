@@ -60,8 +60,12 @@ def main() -> int:
         def body(carry, _):
             state, mask, key = carry
             key, sub = jax.random.split(key)
+            # `| 1`: legal draws stay above illegal 0s even on an all-zero
+            # draw row (matches bench.py's sampler exactly)
             bits = jax.random.bits(sub, mask.shape, jnp.uint32)
-            a = jnp.argmax(jnp.where(mask, bits, jnp.uint32(0)), axis=-1)
+            a = jnp.argmax(
+                jnp.where(mask, bits | jnp.uint32(1), jnp.uint32(0)), axis=-1
+            )
             state, ts = env.step(state, a)
             return (state, ts.action_mask, key), ts.reward.sum()
 

@@ -87,3 +87,28 @@ def test_main_fails_fast_on_bad_preset(monkeypatch, capsys):
     assert rc == 0
     parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert parsed["value"] == 0 and "BP_BENCH_PRESET" in parsed["error"]
+
+
+def test_worker_json_non_dict_lines_skipped(monkeypatch):
+    """A JSON-parseable non-dict stdout line (e.g. a bare `0`) must be
+    skipped, not crash the parse with TypeError."""
+    out = "0\n[1]\nnull\n" + json.dumps({"value": 3e7}) + "\nnull\n"
+    seq = iter([_Result(0), _Result(0, out)])
+    monkeypatch.setattr(bench, "_run_sub", lambda f, t: next(seq))
+    value, error = bench._device_value_resilient()
+    assert value == 3e7 and error is None
+
+
+def test_main_fails_fast_on_bad_num_envs(monkeypatch, capsys):
+    """Malformed BP_BENCH_NUM_ENVS emits the contract JSON line, not an
+    import/parse traceback."""
+    for bad in ("49k", "0", "-5"):
+        monkeypatch.setattr(bench, "NUM_ENVS_RAW", bad)
+        monkeypatch.setattr(
+            bench, "_device_value_resilient",
+            lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+        )
+        rc = bench.main()
+        assert rc == 0
+        parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert parsed["value"] == 0 and "BP_BENCH_NUM_ENVS" in parsed["error"]

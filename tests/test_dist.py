@@ -182,3 +182,29 @@ def test_param_rules_shard_head_kernels():
     ]
     assert torso and all(flat[k] == P(None, "tp") for k in torso), flat
     assert heads and all(flat[k] == P("tp", None) for k in heads), heads
+
+
+def test_param_rules_shard_mlp_torso_kernel():
+    """The mlp torso's dominant (cells, width) kernel must carry the tp
+    column rule — it previously fell through to P() (replicated) while the
+    docs claimed the rules were arch-independent."""
+    env = make_env(default_config())
+    ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4, hidden=64,
+                             channels=(8,), num_epochs=1, num_minibatches=2,
+                             torso="mlp"))
+    state = ppo.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    flat = {
+        "/".join(str(getattr(k, "name", getattr(k, "key", k))) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(
+            spec, is_leaf=lambda x: isinstance(x, P)
+        )[0]
+    }
+    mlp = [k for k in flat if "Torso_0/mlp_0/kernel" in k and "params/" in k]
+    assert mlp and all(flat[k] == P(None, "tp") for k in mlp), flat
+    # and the sharded update actually executes on a tp=2 mesh
+    mesh = dist.make_mesh(tp=2)
+    shardings = dist.to_named(mesh, spec)
+    state = jax.device_put(state, shardings)
+    state2, metrics = jax.jit(ppo.update, donate_argnums=(0,))(state)
+    assert np.isfinite(float(metrics["loss"]))

@@ -315,3 +315,24 @@ def test_dqn_hypers_zero_decay_is_constant_eps_end():
     cfg = DQNConfig(eps_decay_iters=0, eps_start=1.0, eps_end=0.07)
     for it in (0, 1, 100):
         assert default_dqn_hypers(cfg, it)["eps"] == pytest.approx(0.07)
+
+
+def test_dqn_explore_only_picks_legal_actions(env):
+    """The bits-argmax uniform-legal explorer (eps=1) must never emit an
+    illegal action, including on all-zero random draws (the `| 1` tie
+    guard)."""
+    import jax
+    import numpy as np
+
+    from blockpuzzle_tpu.learn import DQN, DQNConfig
+
+    dqn = DQN(env, DQNConfig(num_envs=32, buffer_size=128, batch_size=8,
+                             collect_steps=1, min_buffer=8, hidden=32,
+                             channels=(8,)))
+    state = dqn.init(jax.random.key(3))
+    board, queue, mask = dqn.observe(state.env_state)
+    for i in range(4):
+        a = dqn._act(state.params, board, queue, mask,
+                     jax.random.key(100 + i), eps=1.0)
+        picked = np.asarray(mask)[np.arange(mask.shape[0]), np.asarray(a)]
+        assert picked.all()

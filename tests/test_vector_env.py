@@ -102,3 +102,19 @@ def test_vector_reset_options_rejects_unknown():
     with pytest.raises(ValueError):
         env.reset(seed=0, options={"bogus": 1})
     env.close()
+
+
+def test_vector_reset_options_rejects_bad_board():
+    env = BlockPuzzleVectorEnv(num_envs=2, cfg=default_config())
+    # wrong shape: a transposed/flattened array must not be silently
+    # reinterpreted by a bare reshape (the oracle raises on shape mismatch)
+    with pytest.raises(ValueError):
+        env.reset(seed=0, options={"board": np.zeros((100, 2), np.uint8)})
+    # non-binary cells would desync engine count==size clears from the
+    # oracle's .all()
+    with pytest.raises(ValueError):
+        env.reset(seed=0, options={"board": np.full((2, 10, 10), 2, np.uint8)})
+    # flat (N, H*W) remains accepted
+    obs, infos = env.reset(seed=0, options={"board": np.zeros((2, 100), np.uint8)})
+    assert obs["board"].shape == (2, 10, 10)
+    env.close()
