@@ -248,6 +248,11 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
                         f"options['board'] shape {board.shape} != "
                         f"{self.board.shape}"
                     )
+                if np.any(board > 1):
+                    # non-binary cells would make can_place (bitwise &) and
+                    # legal_action_mask (overlap counts) disagree, and the
+                    # VectorEnv rejects them for the same reason
+                    raise ValueError("options['board'] cells must be 0/1")
                 self.board[:] = board
             if "queue" in options:
                 queue = np.asarray(options["queue"], dtype=np.int32)

@@ -200,6 +200,10 @@ def test_reset_options_rejects_bad_input():
     with pytest.raises(ValueError):
         env.reset(options={"board": np.zeros((3, 3), np.uint8)})
     with pytest.raises(ValueError):
+        # non-binary cells: can_place (bitwise &) and legal_action_mask
+        # (overlap counts) would disagree on them
+        env.reset(options={"board": np.full((10, 10), 2, np.uint8)})
+    with pytest.raises(ValueError):
         env.reset(options={"queue": [999]})
 
 
