@@ -9,7 +9,6 @@ build time (SURVEY.md §0), so the oracle is the canonical parity target.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -12,7 +12,6 @@ over the (dp, tp) mesh and gradients reduced over ICI.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import jax
 

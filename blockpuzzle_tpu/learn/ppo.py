@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from blockpuzzle_tpu.config import EnvConfig
 from blockpuzzle_tpu.env import EnvState, VecBlockPuzzle
 from blockpuzzle_tpu.learn import networks
 from blockpuzzle_tpu.learn.networks import ActorCritic

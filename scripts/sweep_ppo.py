@@ -65,7 +65,6 @@ def main() -> int:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
 
     from blockpuzzle_tpu.config import PRESETS
     from blockpuzzle_tpu.env import make_env

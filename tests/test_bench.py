@@ -6,13 +6,7 @@ subprocesses are stubbed here — hardware behavior is exercised on the TPU
 separately (docs/RESULTS.md).
 """
 
-import io
 import json
-import subprocess
-import sys
-import types
-
-import pytest
 
 import bench
 

@@ -167,8 +167,6 @@ def test_param_rules_shard_head_kernels():
                              channels=(8,), num_epochs=1, num_minibatches=2))
     state = ppo.init(jax.random.key(0))
     spec = dist.train_state_spec(state)
-    import flax
-
     flat = {
         "/".join(str(getattr(k, "name", getattr(k, "key", k))) for k in path): s
         for path, s in jax.tree_util.tree_flatten_with_path(

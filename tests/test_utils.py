@@ -2,14 +2,11 @@
 (SURVEY.md §5: resume must be bit-exact — counter-based RNG makes the piece
 stream a pure function of saved keys + counters)."""
 
-import glob
 import json
-import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from blockpuzzle_tpu.config import default_config
 from blockpuzzle_tpu.env import make_env
