@@ -22,7 +22,13 @@ import argparse
 import functools
 import json
 import subprocess
+import os
 import sys
+
+# allow `python scripts/<name>.py` without PYTHONPATH (the package is
+# not pip-installed; the interpreter puts scripts/, not the repo root,
+# on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 NUM_ENVS = 16384

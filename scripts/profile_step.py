@@ -15,7 +15,13 @@ import collections
 import glob
 import gzip
 import json
+import os
 import sys
+
+# allow `python scripts/<name>.py` without PYTHONPATH (the package is
+# not pip-installed; the interpreter puts scripts/, not the repo root,
+# on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 import time
 

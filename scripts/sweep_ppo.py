@@ -19,7 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow `python scripts/<name>.py` without PYTHONPATH (the package is
+# not pip-installed; the interpreter puts scripts/, not the repo root,
+# on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 # name -> (lr start/end, entropy start/end, clip, gamma, gae lambda,
