@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="argmax policy instead of sampling")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="must match the trained network's torso")
+    p.add_argument("--mlp-width", type=int, default=512,
+                   help="must match the trained network's mlp_width")
     p.add_argument("--queue-mode", choices=["embed", "planes"],
                    default="embed",
                    help="must match the trained network's queue_mode")
@@ -50,6 +52,7 @@ def main(argv=None) -> int:
     if args.algo == "ppo":
         net = PPO(
             env, PPOConfig(num_envs=args.num_envs, torso=args.torso,
+                           mlp_width=args.mlp_width,
                            queue_mode=args.queue_mode)
         ).net
     else:
@@ -57,6 +60,7 @@ def main(argv=None) -> int:
 
         net = DQN(
             env, DQNConfig(num_envs=args.num_envs, torso=args.torso,
+                           mlp_width=args.mlp_width,
                            queue_mode=args.queue_mode)
         ).net
     # abstract params template via eval_shape — no device work, no env/opt

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN target-net sync period (gradient steps)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="network torso: CNN or pure-matmul MLP")
+    p.add_argument("--mlp-width", type=int, default=512,
+                   help="mlp-torso matmul width (ignored by conv)")
     p.add_argument("--queue-mode", choices=["embed", "planes"],
                    default="embed",
                    help="hand representation: id embedding or spatial "
@@ -97,7 +99,7 @@ def main(argv=None) -> int:
             num_envs=args.num_envs, rollout_len=args.rollout_len, lr=args.lr,
             num_epochs=args.epochs, num_minibatches=args.minibatches,
             entropy_coef=args.entropy_coef, clip_eps=args.clip_eps,
-            gamma=args.gamma, torso=args.torso,
+            gamma=args.gamma, torso=args.torso, mlp_width=args.mlp_width,
             queue_mode=args.queue_mode,
         ))
 
@@ -148,7 +150,7 @@ def main(argv=None) -> int:
             num_envs=args.num_envs, lr=args.lr,
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update, torso=args.torso,
-            queue_mode=args.queue_mode,
+            mlp_width=args.mlp_width, queue_mode=args.queue_mode,
         ))
         from blockpuzzle_tpu.learn import default_dqn_hypers
 

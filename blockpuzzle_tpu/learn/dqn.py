@@ -65,6 +65,7 @@ class DQNConfig:
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
+    mlp_width: int = 512  # mlp-torso matmul width (ignored by conv)
     queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
     sample_rng_impl: str = "rbg"  # see PPOConfig.sample_rng_impl
 
@@ -114,7 +115,8 @@ class DQN:
         self.net = QNetwork(
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
-            arch=self.cfg.torso, queue_mode=self.cfg.queue_mode,
+            arch=self.cfg.torso, mlp_width=self.cfg.mlp_width,
+            queue_mode=self.cfg.queue_mode,
         )
         # Direction-only optimizer: lr is applied in the iteration so it
         # can be a RUNTIME scalar (``hypers`` — same one-compile-per-sweep

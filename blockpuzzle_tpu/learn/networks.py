@@ -184,6 +184,7 @@ class ActorCritic(nn.Module):
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
     arch: str = "conv"
+    mlp_width: int = 512
     queue_mode: str = "embed"
 
     @nn.compact
@@ -193,7 +194,8 @@ class ActorCritic(nn.Module):
         """Returns (masked_logits (..., A) f32, value (...,) f32)."""
         h = Torso(
             self.cfg, self.num_pieces, self.channels, self.hidden,
-            arch=self.arch, queue_mode=self.queue_mode,
+            arch=self.arch, mlp_width=self.mlp_width,
+            queue_mode=self.queue_mode,
         )(board, queue)
         # row-parallel candidate: (hidden, A) partitioned ("tp", None)
         logits = MXUDense(
@@ -212,6 +214,7 @@ class QNetwork(nn.Module):
     channels: Tuple[int, ...] = (32, 64)
     hidden: int = 256
     arch: str = "conv"
+    mlp_width: int = 512
     queue_mode: str = "embed"
 
     @nn.compact
@@ -220,7 +223,8 @@ class QNetwork(nn.Module):
     ) -> jax.Array:
         h = Torso(
             self.cfg, self.num_pieces, self.channels, self.hidden,
-            arch=self.arch, queue_mode=self.queue_mode,
+            arch=self.arch, mlp_width=self.mlp_width,
+            queue_mode=self.queue_mode,
         )(board, queue)
         q = MXUDense(self.cfg.num_actions(), kernel_partition=("tp", None))(h)
         return jnp.where(action_mask, q, NEG_INF)

@@ -52,6 +52,7 @@ class PPOConfig:
     hidden: int = 256
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "conv"  # "conv" | "mlp" (see networks.Torso)
+    mlp_width: int = 512  # mlp-torso matmul width (ignored by conv)
     queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
     # PRNG impl for action sampling: "rbg" (fast path) or "threefry2x32"
     # (sharding-stable — required when comparing sharded vs unsharded runs;
@@ -123,6 +124,7 @@ class PPO:
             channels=self.cfg.channels,
             hidden=self.cfg.hidden,
             arch=self.cfg.torso,
+            mlp_width=self.cfg.mlp_width,
             queue_mode=self.cfg.queue_mode,
         )
         # Direction-only optimizer: the learning rate is applied manually in

@@ -60,6 +60,8 @@ def main() -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the best config's final TrainState here")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
+    p.add_argument("--mlp-width", type=int, default=512,
+                   help="mlp-torso matmul width (ignored by conv)")
     p.add_argument("--preset", choices=["default", "tenten", "woodoku", "big"],
                    default="default")
     p.add_argument("--queue-mode", choices=["embed", "planes"],
@@ -81,7 +83,8 @@ def main() -> int:
     env = make_env(PRESETS[args.preset]())
     ppo = PPO(env, PPOConfig(
         num_envs=args.num_envs, rollout_len=args.rollout_len,
-        torso=args.torso, queue_mode=args.queue_mode,
+        torso=args.torso, mlp_width=args.mlp_width,
+        queue_mode=args.queue_mode,
     ))
     update = ppo.update_jit
 
@@ -157,6 +160,7 @@ def main() -> int:
             "config": name,
             "preset": args.preset,
             "torso": args.torso,
+            "mlp_width": args.mlp_width,
             "queue_mode": args.queue_mode,
             **c,
             "updates": args.updates,

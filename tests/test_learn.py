@@ -195,6 +195,29 @@ def test_ppo_mlp_torso_trains(env):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_ppo_mlp_width_is_plumbed(env):
+    """PPOConfig.mlp_width sizes the torso matmul (ROADMAP width sweep)."""
+    ppo = small_ppo(env, torso="mlp", mlp_width=96)
+    state = ppo.init(jax.random.key(14))
+    kernel = state.params["params"]["Torso_0"]["mlp_0"]["kernel"]
+    assert kernel.value.shape[-1] == 96  # Partitioned box around the array
+    state, metrics = ppo.update_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dqn_mlp_width_is_plumbed(env):
+    cfg = DQNConfig(
+        num_envs=8, buffer_size=128, batch_size=8, collect_steps=2,
+        min_buffer=4, hidden=16, channels=(4,), torso="mlp", mlp_width=48,
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(15))
+    kernel = state.params["params"]["Torso_0"]["mlp_0"]["kernel"]
+    assert kernel.value.shape[-1] == 48
+    state, m = dqn.iteration_jit(state)
+    assert int(m["buffer_filled"]) == 16
+
+
 def test_dqn_mlp_torso_iteration(env):
     cfg = DQNConfig(
         num_envs=8, buffer_size=128, batch_size=8, collect_steps=2,
