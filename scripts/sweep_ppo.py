@@ -59,6 +59,11 @@ def main() -> int:
     p.add_argument("--log-every", type=int, default=200)
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the best config's final TrainState here")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also save the in-progress TrainState every N "
+                        "updates (single-config long runs: a cut-short run "
+                        "still leaves an evaluable policy; requires "
+                        "--checkpoint-dir)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
     p.add_argument("--mlp-width", type=int, default=512,
                    help="mlp-torso matmul width (ignored by conv)")
@@ -122,6 +127,17 @@ def main() -> int:
     def interp(a, b, frac):
         return a + (b - a) * frac
 
+    mgr = None
+    if args.checkpoint_dir:
+        from blockpuzzle_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir)
+    if args.checkpoint_every and mgr is None:
+        p.error("--checkpoint-every requires --checkpoint-dir")
+    if args.checkpoint_every and len(args.configs) > 1:
+        # periodic step numbers would collide across configs
+        p.error("--checkpoint-every supports a single --configs entry")
+
     results = []
     best = None  # (greedy_return, name, host TrainState copy)
     for ci, name in enumerate(args.configs):
@@ -148,6 +164,11 @@ def main() -> int:
                     f"entropy {float(metrics['entropy']):.3f}",
                     file=sys.stderr,
                 )
+            if (args.checkpoint_every
+                    and (u + 1) % args.checkpoint_every == 0
+                    and u + 1 < args.updates):  # final save happens below
+                mgr.save(u + 1, state)  # syncs the device queue (orbax get)
+                print(f"[{name}] checkpointed update {u + 1}", file=sys.stderr)
         # timing barrier: device_get of the LAST update's metrics — on the
         # axon tunnel enqueued work is not done work (CLAUDE.md), so without
         # this train_s/frames_per_s would exclude any updates still queued
@@ -178,10 +199,7 @@ def main() -> int:
 
     results.sort(key=lambda r: -r["greedy_return"])
     print(json.dumps({"summary": results, "best": results[0]["config"]}))
-    if args.checkpoint_dir and best is not None:
-        from blockpuzzle_tpu.utils import CheckpointManager
-
-        mgr = CheckpointManager(args.checkpoint_dir)
+    if mgr is not None and best is not None:
         mgr.save(args.updates, best[2], force=True)
         mgr.close()
         print(f"[sweep] saved best ({best[1]}) to {args.checkpoint_dir}",
