@@ -42,3 +42,56 @@ def test_sweep_smoke_produces_summary(tmp_path):
     assert summary["best"] == "base"
     # the best config's TrainState was checkpointed for cli.evaluate
     assert (tmp_path / "ckpt").exists()
+
+
+def test_sweep_checkpoint_every_saves_mid_run_steps(tmp_path):
+    """--checkpoint-every leaves evaluable mid-run checkpoints (long-run
+    insurance: a cut-short 1M-update run still yields its latest policy)."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    ckpt = tmp_path / "ckpt"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "sweep_ppo.py"),
+            "--configs", "base",
+            "--updates", "5",
+            "--num-envs", "16",
+            "--rollout-len", "8",
+            "--eval-envs", "8",
+            "--eval-steps", "32",
+            "--platform", "cpu",
+            "--torso", "mlp",
+            "--mlp-width", "32",
+            "--checkpoint-dir", str(ckpt),
+            "--checkpoint-every", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    steps = sorted(int(p.name) for p in ckpt.iterdir() if p.name.isdigit())
+    # periodic saves at 2 and 4 plus the final forced save at 5
+    assert steps == [2, 4, 5], steps
+
+
+def test_sweep_checkpoint_every_rejects_multi_config(tmp_path):
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "sweep_ppo.py"),
+            "--configs", "base", "anneal",
+            "--updates", "2",
+            "--platform", "cpu",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--checkpoint-every", "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(repo),
+    )
+    assert r.returncode != 0
+    assert "single --configs entry" in r.stderr
