@@ -198,6 +198,18 @@ def main(argv=None) -> int:
         )
 
     profiling_active = profiled_once = False
+    # Host/device sync policy: the loop device_gets a metric scalar ONLY at
+    # log/checkpoint/final boundaries, letting jax async dispatch queue the
+    # updates in between (sweep_ppo.py proved 10k-deep queues fine on axon;
+    # per-update device_gets serialize tunnel RTT with compute and cost ~2x
+    # in-loop throughput).  --profile-dir and --debug force per-update syncs
+    # so trace windows bracket real device work and validation sees every
+    # logged state.  device_get, not block_until_ready: on the axon tunnel
+    # the latter returns at enqueue time (see bench.py), which would let the
+    # host race ahead and corrupt the throughput meter (and trace windows).
+    force_sync = bool(args.profile_dir) or args.debug
+    pending_steps = 0  # env steps enqueued since the last device sync
+    sps = 0.0
     for update in range(start, args.updates, stride):
         # capture a device trace spanning updates 2-4 (post-compile,
         # steady-state)
@@ -206,19 +218,22 @@ def main(argv=None) -> int:
             jax.profiler.start_trace(args.profile_dir)
             profiling_active = profiled_once = True
         state, metrics = step_fn(state, update)
-        # device_get, not block_until_ready: on the axon tunnel the latter
-        # returns at enqueue time (see bench.py), which would let the host
-        # race arbitrarily far ahead of the device and corrupt the
-        # throughput meter (and trace windows)
-        loss_host = float(
-            metrics["loss"] if "loss" in metrics else metrics["episode_return"]
-        )
         done = update + stride  # updates completed so far
+        pending_steps += steps_per_call
+        at_log = done % args.log_every == 0 or update == start
+        at_ckpt = ckpt is not None and done % args.checkpoint_every == 0
+        if force_sync or at_log or at_ckpt or done >= args.updates:
+            float(
+                metrics["loss"]
+                if "loss" in metrics
+                else metrics["episode_return"]
+            )  # completion barrier: drains the dispatch queue
+            sps = meter.tick(pending_steps)
+            pending_steps = 0
         if profiling_active and (done >= start + 4 or done >= args.updates):
             jax.profiler.stop_trace()
             profiling_active = False
-        sps = meter.tick(steps_per_call)
-        if done % args.log_every == 0 or update == start:
+        if at_log:
             metrics = dict(metrics)
             metrics["env_steps_per_s"] = sps
             host = logger.log(done, metrics)
@@ -226,11 +241,11 @@ def main(argv=None) -> int:
                 f"update {done}: return={host.get('episode_return', 0):.1f} "
                 f"loss={host.get('loss', 0):.4f} steps/s={sps / 1e6:.2f}M"
             )
-        if args.debug and done % args.log_every == 0:
+        if args.debug and at_log:
             from blockpuzzle_tpu.utils import validate_env_state
 
             validate_env_state(env, state.env_state)
-        if ckpt and done % args.checkpoint_every == 0:
+        if at_ckpt:
             ckpt.save(done, state)
     if ckpt:
         if ckpt.latest_step() != args.updates:  # periodic save may have hit it
