@@ -518,6 +518,53 @@ class VecBlockPuzzle:
         )
         return new, ts
 
+    def partial_reset(
+        self, state: EnvState, reset_mask: jax.Array
+    ) -> Tuple[EnvState, TimeStep]:
+        """Re-initialize ONLY the envs flagged in ``reset_mask`` ((N,) bool).
+
+        The batched analogue of gymnasium's ``AutoresetMode.DISABLED``
+        contract (``reset(options={"reset_mask": ...})``): masked envs get
+        exactly the fused in-step auto-reset semantics — board cleared, a
+        fresh tag-1 deal from the env's own ``(base_key, rng_counter)``
+        stream, steps/score zeroed — while unmasked envs pass through
+        bit-untouched.  ``rng_counter`` advances for ALL envs (the monotone
+        counter scheme, env/state.py): unmasked envs skip a draw rather
+        than ever replaying one.
+        """
+        n = state.num_envs
+        m = reset_mask.astype(bool)
+        mcol = m[:, None]
+        fresh_queue = self._deal_batch(state.base_key, state.rng_counter, tag=1)
+        queue = jnp.where(mcol, fresh_queue, state.queue)
+        new = state.replace(
+            board=jnp.where(mcol, jnp.zeros_like(state.board), state.board),
+            queue=queue,
+            rng_counter=state.rng_counter + 1,
+            steps=jnp.where(m, 0, state.steps),
+            score=jnp.where(m, 0.0, state.score),
+        )
+        zeros_b = jnp.zeros(n, dtype=bool)
+        ts = TimeStep(
+            board=new.board.reshape(n, self.cfg.height, self.cfg.width),
+            queue=queue,
+            # full mask (unmasked envs keep occupied boards), not the
+            # empty-board shortcut init/reset use
+            action_mask=self.action_mask(new.board, queue),
+            reward=jnp.zeros(n, dtype=jnp.float32),
+            terminated=zeros_b,
+            truncated=zeros_b,
+            info={
+                "lines_cleared": jnp.zeros(n, dtype=jnp.int32),
+                "legal": zeros_b,
+                # unmasked envs are mid-episode: report their live stats
+                "episode_return": new.score,
+                "episode_length": new.steps,
+            },
+            piece_planes=self._maybe_planes(queue),
+        )
+        return new, ts
+
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
@@ -737,6 +784,10 @@ class VecBlockPuzzle:
     @functools.cached_property
     def reset_jit(self):
         return jax.jit(self.reset, donate_argnums=(0,))
+
+    @functools.cached_property
+    def partial_reset_jit(self):
+        return jax.jit(self.partial_reset, donate_argnums=(0,))
 
 
 def make_env(

@@ -6,10 +6,25 @@ is the caller's problem").  This adapter is the TPU-native replacement: a
 ``gymnasium.vector.VectorEnv`` whose whole batch steps as ONE jitted XLA
 program on device, with NumPy in/out at the host boundary.
 
-Auto-reset is same-step (the returned observation for a finished env is the
-reset observation — the convention of JAX env suites); the pre-reset
-observation is exposed as ``infos["final_board"]`` / ``infos["final_queue"]``
-with the standard gymnasium ``_final_board`` presence mask.
+All three gymnasium autoreset conventions are supported via the
+``autoreset_mode`` constructor argument:
+
+* ``SAME_STEP`` (default — the convention of JAX env suites): the returned
+  observation for a finished env is already the reset observation; the
+  pre-reset observation is exposed as ``infos["final_board"]`` /
+  ``infos["final_queue"]`` with the standard gymnasium ``_final_board``
+  presence mask.
+* ``NEXT_STEP`` (gymnasium ≥1.0's default convention): the terminal step
+  returns the FINAL (pre-reset) observation, and the env resets on the
+  following step, whose action is ignored for that env (reward 0, both
+  done flags False, obs = reset observation).  Implemented adapter-side:
+  the engine still auto-resets in-step, and a jitted combine substitutes
+  the held-back reset state/obs for pending envs.
+* ``DISABLED``: no automatic reset; finished envs stay terminal (every
+  action is an illegal no-op) until the caller partially resets them with
+  ``reset(options={"reset_mask": bool_(N,)})`` — the engine's
+  ``partial_reset``, which re-deals ONLY the flagged envs from their own
+  counter-based RNG streams and passes the rest through bit-untouched.
 
 Documented deviation from gymnasium's SAME_STEP convention:
 ``infos["final_obs"]`` is a dict of BATCHED arrays (``{"board": (N, H, W),
@@ -56,6 +71,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
         cfg: Optional[EnvConfig] = None,
         backend: str = "jnp",
         render_mode: Optional[str] = None,
+        autoreset_mode: "str | gymnasium.vector.AutoresetMode" = "same_step",
         **overrides: Any,
     ) -> None:
         if cfg is None:
@@ -68,6 +84,18 @@ class BlockPuzzleVectorEnv(VectorEnv):
         self.engine = make_env(cfg, backend=backend)
         self.num_envs = num_envs
         self.render_mode = render_mode
+        Mode = gymnasium.vector.AutoresetMode
+        if isinstance(autoreset_mode, str):
+            try:
+                autoreset_mode = Mode[autoreset_mode.upper()]
+            except KeyError:
+                raise ValueError(
+                    f"autoreset_mode {autoreset_mode!r} not one of "
+                    f"{[m.name.lower() for m in Mode]}"
+                ) from None
+        self.autoreset_mode = autoreset_mode
+        # per-instance copy: wrappers inspect metadata["autoreset_mode"]
+        self.metadata = {**type(self).metadata, "autoreset_mode": autoreset_mode}
 
         h, w, s = cfg.height, cfg.width, cfg.queue_size
         obs_spaces = {
@@ -89,15 +117,95 @@ class BlockPuzzleVectorEnv(VectorEnv):
 
         self._state = None
         self._last_ts = None
+        self._pending = None  # NEXT_STEP: envs that finished last step
+        self._raw_obs = None  # NEXT_STEP: engine (post-reset) obs fields
         # plain jit (no donation): callers may hold references across steps
-        self._step_fn = jax.jit(lambda st, a: self.engine.step(st, a))
+        auto = autoreset_mode is not Mode.DISABLED
+        self._step_fn = jax.jit(
+            lambda st, a: self.engine.step(st, a, auto_reset=auto)
+        )
+        self._partial_reset_fn = jax.jit(self.engine.partial_reset)
         # mask/plane recompute for reset(options=...) state overrides
         self._mask_fn = jax.jit(
             lambda b, q: self.engine.action_mask(b, q)
         )
         self._planes_fn = jax.jit(lambda q: self.engine.piece_planes(q))
+        self._combine_fn = jax.jit(self._next_step_combine)
 
     # ------------------------------------------------------------------
+
+    def _next_step_combine(self, new_state, new_ts, old_state, old_raw, pending):
+        """NEXT_STEP autoreset: substitute held-back resets for ``pending``.
+
+        Pending envs (finished on the PREVIOUS step) did not really take
+        this step: their pre-step state — which the fused auto-reset
+        already re-initialized — is restored wholesale (including
+        ``rng_counter``, so the discarded transition's draws are simply
+        re-made identically later), and their presented obs is the reset
+        observation with reward 0 / done False.  Envs finishing THIS step
+        present the final (pre-reset) observation instead of the reset one.
+        """
+        def w(p, a, b):
+            return jnp.where(p.reshape(p.shape + (1,) * (a.ndim - 1)), a, b)
+
+        done_now = jnp.logical_and(new_ts.done, jnp.logical_not(pending))
+        info = new_ts.info
+        state = new_state.replace(
+            board=w(pending, old_state.board, new_state.board),
+            queue=w(pending, old_state.queue, new_state.queue),
+            rng_counter=jnp.where(
+                pending, old_state.rng_counter, new_state.rng_counter
+            ),
+            steps=jnp.where(pending, old_state.steps, new_state.steps),
+            score=jnp.where(pending, old_state.score, new_state.score),
+        )
+        # engine (post-reset) obs rows carried to the NEXT combine
+        raw = {
+            "board": w(pending, old_raw["board"], new_ts.board),
+            "queue": w(pending, old_raw["queue"], new_ts.queue),
+            "mask": w(pending, old_raw["mask"], new_ts.action_mask),
+        }
+        presented = {
+            "board": w(pending, old_raw["board"],
+                       w(done_now, info["final_board"], new_ts.board)),
+            "queue": w(pending, old_raw["queue"],
+                       w(done_now, info["final_queue"], new_ts.queue)),
+            "mask": w(pending, old_raw["mask"],
+                      w(done_now, info["final_action_mask"],
+                        new_ts.action_mask)),
+        }
+        if self.cfg.obs_planes:
+            raw["planes"] = w(
+                pending, old_raw["planes"], new_ts.piece_planes
+            )
+            presented["planes"] = w(
+                pending, old_raw["planes"],
+                w(done_now, info["final_piece_planes"], new_ts.piece_planes),
+            )
+        presented["reward"] = jnp.where(pending, 0.0, new_ts.reward)
+        presented["terminated"] = jnp.where(
+            pending, False, new_ts.terminated
+        )
+        presented["truncated"] = jnp.where(pending, False, new_ts.truncated)
+        presented["lines_cleared"] = jnp.where(
+            pending, 0, info["lines_cleared"]
+        )
+        presented["episode_return"] = jnp.where(
+            pending, 0.0, info["episode_return"]
+        )
+        return state, raw, presented, done_now
+
+    # ------------------------------------------------------------------
+
+    def _raw_from_ts(self, ts) -> Dict[str, Any]:
+        raw = {
+            "board": ts.board,
+            "queue": ts.queue,
+            "mask": ts.action_mask,
+        }
+        if self.cfg.obs_planes:
+            raw["planes"] = ts.piece_planes
+        return raw
 
     def _obs(self, ts) -> Dict[str, np.ndarray]:
         out = {
@@ -111,6 +219,35 @@ class BlockPuzzleVectorEnv(VectorEnv):
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+        if options and "reset_mask" in options:
+            # partial reset (gymnasium AutoresetMode.DISABLED contract)
+            if len(options) > 1:
+                raise ValueError(
+                    "options['reset_mask'] cannot be combined with other "
+                    "reset options"
+                )
+            if seed is not None:
+                raise ValueError(
+                    "seed= with reset_mask is unsupported: flagged envs "
+                    "re-deal from their own counter-based RNG streams"
+                )
+            if self._state is None:
+                raise RuntimeError("full reset() required before reset_mask")
+            m = np.asarray(options["reset_mask"])
+            if m.shape != (self.num_envs,):
+                raise ValueError(
+                    f"reset_mask shape {m.shape} != {(self.num_envs,)}"
+                )
+            self._state, ts = self._partial_reset_fn(
+                self._state, jnp.asarray(m, dtype=bool)
+            )
+            self._last_ts = ts
+            if self.autoreset_mode is gymnasium.vector.AutoresetMode.NEXT_STEP:
+                self._pending = jnp.logical_and(
+                    self._pending, jnp.logical_not(jnp.asarray(m, dtype=bool))
+                )
+                self._raw_obs = self._raw_from_ts(ts)
+            return self._obs(ts), {"action_mask": np.asarray(ts.action_mask)}
         if seed is None:
             # gymnasium convention: unseeded resets draw fresh entropy
             import os as _os
@@ -172,6 +309,8 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 ),
             )
         self._last_ts = ts
+        self._pending = jnp.zeros(self.num_envs, dtype=bool)
+        self._raw_obs = self._raw_from_ts(ts)
         infos = {"action_mask": np.asarray(ts.action_mask)}
         return self._obs(ts), infos
 
@@ -181,6 +320,8 @@ class BlockPuzzleVectorEnv(VectorEnv):
         if self._state is None:
             raise RuntimeError("call reset() before step()")
         actions = jnp.asarray(np.asarray(actions), dtype=jnp.int32)
+        if self.autoreset_mode is gymnasium.vector.AutoresetMode.NEXT_STEP:
+            return self._step_next_step(actions)
         self._state, ts = self._step_fn(self._state, actions)
         self._last_ts = ts
         terminated = np.asarray(ts.terminated)
@@ -191,7 +332,9 @@ class BlockPuzzleVectorEnv(VectorEnv):
             "lines_cleared": np.asarray(ts.info["lines_cleared"]),
             "episode_return": np.asarray(ts.info["episode_return"]),
         }
-        if done.any():
+        if done.any() and "final_board" in ts.info:
+            # SAME_STEP only: DISABLED steps carry no reset, so the live
+            # obs IS the final obs and no final_* keys exist
             final_board = np.asarray(ts.info["final_board"])
             final_queue = np.asarray(ts.info["final_queue"])
             # gymnasium SAME_STEP convention key...
@@ -211,6 +354,37 @@ class BlockPuzzleVectorEnv(VectorEnv):
             np.asarray(ts.reward),
             terminated,
             truncated,
+            infos,
+        )
+
+    def _step_next_step(self, actions) -> Tuple[
+        Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
+    ]:
+        old_state = self._state
+        new_state, ts = self._step_fn(old_state, actions)
+        self._state, self._raw_obs, out, done_now = self._combine_fn(
+            new_state, ts, old_state, self._raw_obs, self._pending
+        )
+        self._pending = done_now
+        self._last_ts = ts.replace(
+            board=out["board"], queue=out["queue"], action_mask=out["mask"]
+        )
+        obs = {
+            "board": np.asarray(out["board"]),
+            "queue": np.asarray(out["queue"]),
+        }
+        if self.cfg.obs_planes:
+            obs["piece_planes"] = np.asarray(out["planes"])
+        infos = {
+            "action_mask": np.asarray(out["mask"]),
+            "lines_cleared": np.asarray(out["lines_cleared"]),
+            "episode_return": np.asarray(out["episode_return"]),
+        }
+        return (
+            obs,
+            np.asarray(out["reward"]),
+            np.asarray(out["terminated"]),
+            np.asarray(out["truncated"]),
             infos,
         )
 

@@ -113,6 +113,42 @@ def test_auto_reset_reinitializes_done_envs():
     assert int(state2.steps[1]) == 1
 
 
+def test_partial_reset_touches_only_masked_envs():
+    cfg = default_config()
+    env = make_env(cfg)
+    state, _ = env.init(jax.random.key(0), 4)
+    # advance a few steps so boards/scores are non-trivial
+    for t in range(3):
+        mask = np.asarray(env.action_mask(state.board, state.queue))
+        a = jnp.asarray([int(np.flatnonzero(m)[0]) for m in mask])
+        state, ts = env.step(state, a)
+    before = jax.device_get(state)
+    m = jnp.asarray([True, False, True, False])
+    new, ts = env.partial_reset(state, m)
+    # masked envs: empty board, fresh valid hand, zeroed episode stats
+    for i in (0, 2):
+        assert int(np.asarray(new.board[i]).sum()) == 0
+        assert int(new.steps[i]) == 0 and float(new.score[i]) == 0.0
+        assert int(new.queue[i, 0]) < env.num_pieces
+        assert bool(ts.action_mask[i].any())
+    # unmasked envs: bit-untouched board/queue/steps/score
+    for i in (1, 3):
+        np.testing.assert_array_equal(
+            np.asarray(new.board[i]), before.board[i]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new.queue[i]), before.queue[i]
+        )
+        assert int(new.steps[i]) == int(before.steps[i])
+        assert float(new.score[i]) == float(before.score[i])
+        # mid-episode stats pass through to the reset TimeStep
+        assert float(ts.info["episode_return"][i]) == float(before.score[i])
+    # monotone counter advances for ALL envs (no draw is ever replayed)
+    np.testing.assert_array_equal(
+        np.asarray(new.rng_counter), before.rng_counter + 1
+    )
+
+
 def test_rng_counter_never_resets():
     cfg = default_config()
     env = make_env(cfg)

@@ -97,6 +97,154 @@ def test_vector_reset_options_override_state():
     env.close()
 
 
+def _legal_actions(mask, rng):
+    return np.array(
+        [rng.choice(np.flatnonzero(m)) if m.any() else 0 for m in mask],
+        dtype=np.int64,
+    )
+
+
+def test_vector_next_step_autoreset_semantics():
+    """NEXT_STEP: terminal step shows the FINAL obs; the following step
+    ignores the action and presents the reset obs with reward 0."""
+    env = BlockPuzzleVectorEnv(
+        num_envs=32, cfg=default_config(), autoreset_mode="next_step"
+    )
+    assert (
+        env.metadata["autoreset_mode"]
+        is gymnasium.vector.AutoresetMode.NEXT_STEP
+    )
+    obs, infos = env.reset(seed=4)
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+        done = term | trunc
+        if done.any():
+            break
+    assert done.any(), "no episode finished in 200 steps"
+    i = int(np.flatnonzero(done)[0])
+    # terminal step: the presented obs is the DEAD position, not a reset
+    assert obs["board"][i].sum() > 0
+    assert not infos["action_mask"][i].any()  # final mask: nothing legal
+    # following step: action ignored (use an arbitrary id), env resets
+    actions = _legal_actions(infos["action_mask"], rng)
+    actions[i] = 0  # whatever — must be ignored for the resetting env
+    obs2, rewards2, term2, trunc2, infos2 = env.step(actions)
+    assert rewards2[i] == 0.0
+    assert not term2[i] and not trunc2[i]
+    assert obs2["board"][i].sum() == 0  # reset obs: empty board
+    assert infos2["action_mask"][i].any()
+    assert infos2["episode_return"][i] == 0.0
+    # the step after that: the env plays normally from the reset state
+    actions = _legal_actions(infos2["action_mask"], rng)
+    obs3, rewards3, term3, trunc3, infos3 = env.step(actions)
+    assert rewards3[i] > 0.0  # legal placement rewards
+    env.close()
+
+
+def test_vector_next_step_ignored_action_does_not_advance_rng():
+    """The discarded transition of a resetting env must not consume RNG:
+    two NEXT_STEP runs that differ only in the ignored action converge to
+    identical queues afterwards."""
+    outs = []
+    for junk_action in (0, 7):
+        env = BlockPuzzleVectorEnv(
+            num_envs=16, cfg=default_config(), autoreset_mode="next_step"
+        )
+        obs, infos = env.reset(seed=11)
+        rng = np.random.default_rng(5)
+        done = np.zeros(16, dtype=bool)
+        for _ in range(200):
+            actions = _legal_actions(infos["action_mask"], rng)
+            obs, rewards, term, trunc, infos = env.step(actions)
+            done = term | trunc
+            if done.any():
+                break
+        assert done.any()
+        i = int(np.flatnonzero(done)[0])
+        actions = _legal_actions(infos["action_mask"], rng)
+        actions[i] = junk_action
+        obs, rewards, term, trunc, infos = env.step(actions)
+        outs.append((obs["queue"][i].copy(), obs["board"][i].copy()))
+        env.close()
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_vector_disabled_autoreset_and_partial_reset():
+    env = BlockPuzzleVectorEnv(
+        num_envs=32, cfg=default_config(), autoreset_mode="disabled"
+    )
+    obs, infos = env.reset(seed=6)
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+        done = term | trunc
+        if done.any():
+            break
+    assert done.any(), "no episode finished in 200 steps"
+    i = int(np.flatnonzero(done)[0])
+    dead_board = obs["board"][i].copy()
+    assert dead_board.sum() > 0
+    # no auto-reset: stepping again leaves the env terminal and unchanged
+    actions = _legal_actions(infos["action_mask"], rng)
+    obs2, rewards2, term2, trunc2, infos2 = env.step(actions)
+    assert term2[i]
+    assert rewards2[i] == 0.0  # illegal no-op (default penalty 0)
+    np.testing.assert_array_equal(obs2["board"][i], dead_board)
+    # partial reset: ONLY the flagged env resets
+    j = int(np.flatnonzero(~done)[0])
+    before_j = obs2["board"][j].copy()
+    queue_j = obs2["queue"][j].copy()
+    mask = np.zeros(32, dtype=bool)
+    mask[i] = True
+    obs3, infos3 = env.reset(options={"reset_mask": mask})
+    assert obs3["board"][i].sum() == 0
+    assert infos3["action_mask"][i].any()
+    np.testing.assert_array_equal(obs3["board"][j], before_j)
+    np.testing.assert_array_equal(obs3["queue"][j], queue_j)
+    # the reset env steps normally again
+    actions = _legal_actions(infos3["action_mask"], rng)
+    obs4, rewards4, term4, trunc4, infos4 = env.step(actions)
+    assert rewards4[i] > 0.0 and not term4[i]
+    env.close()
+
+
+def test_vector_partial_reset_option_validation():
+    env = BlockPuzzleVectorEnv(
+        num_envs=4, cfg=default_config(), autoreset_mode="disabled"
+    )
+    with pytest.raises(RuntimeError):
+        env.reset(options={"reset_mask": np.ones(4, bool)})  # before reset()
+    env.reset(seed=0)
+    with pytest.raises(ValueError):
+        env.reset(options={"reset_mask": np.ones(3, bool)})  # wrong shape
+    with pytest.raises(ValueError):
+        env.reset(seed=1, options={"reset_mask": np.ones(4, bool)})
+    with pytest.raises(ValueError):
+        env.reset(options={"reset_mask": np.ones(4, bool), "queue": None})
+    env.close()
+
+
+def test_make_vec_accepts_autoreset_mode():
+    env = gymnasium.make_vec(
+        "BlockPuzzleTpu/BlockPuzzle-v0", num_envs=4, autoreset_mode="next_step"
+    )
+    assert (
+        env.unwrapped.autoreset_mode
+        is gymnasium.vector.AutoresetMode.NEXT_STEP
+    )
+    env.reset(seed=0)
+    env.close()
+
+
+def test_vector_autoreset_mode_rejects_unknown():
+    with pytest.raises(ValueError):
+        BlockPuzzleVectorEnv(num_envs=2, autoreset_mode="sometimes")
+
+
 def test_vector_reset_options_rejects_unknown():
     env = BlockPuzzleVectorEnv(num_envs=2, cfg=default_config())
     with pytest.raises(ValueError):
