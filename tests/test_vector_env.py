@@ -212,6 +212,27 @@ def test_vector_disabled_autoreset_and_partial_reset():
     env.close()
 
 
+def test_vector_next_step_gymnasium_wrapper_interop():
+    """gymnasium's own vector wrappers consume the NEXT_STEP convention."""
+    from gymnasium.wrappers.vector import RecordEpisodeStatistics
+
+    env = gymnasium.make_vec(
+        "BlockPuzzleTpu/BlockPuzzle-v0", num_envs=16,
+        autoreset_mode="next_step",
+    )
+    env = RecordEpisodeStatistics(env)
+    obs, infos = env.reset(seed=0)
+    rng = np.random.default_rng(0)
+    finished = 0
+    for _ in range(300):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rew, term, trunc, infos = env.step(actions)
+        if "episode" in infos:
+            finished += int(np.asarray(infos["_episode"]).sum())
+    assert finished > 0
+    env.close()
+
+
 def test_vector_partial_reset_option_validation():
     env = BlockPuzzleVectorEnv(
         num_envs=4, cfg=default_config(), autoreset_mode="disabled"
