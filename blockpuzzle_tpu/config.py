@@ -36,6 +36,14 @@ class EnvConfig:
       line_base: base for the simultaneous-clear bonus
         ``line_base * k * (k + 1) / 2`` for ``k`` full rows+cols(+regions)
         cleared at once.
+      streak_bonus: Woodoku-style consecutive-clear ("streak") bonus.  A
+        legal placement that clears k>0 lines extends the env's streak
+        counter and adds ``streak_bonus * (streak - 1)`` reward (the first
+        clear of a streak adds nothing, the second adds 1×, the third 2×,
+        ...); a legal placement that clears nothing resets the streak to 0;
+        illegal no-ops leave it unchanged; episode end resets it.  0.0
+        (default) disables the mechanic entirely (no extra compute in the
+        jitted step).
       illegal_penalty: reward returned for an illegal action (the action is
         a no-op; the episode does not terminate).
       terminal_penalty: extra reward added on the transition that ends the
@@ -58,6 +66,7 @@ class EnvConfig:
     region_size: int = 3
     cell_reward: float = 1.0
     line_base: float = 10.0
+    streak_bonus: float = 0.0
     illegal_penalty: float = 0.0
     terminal_penalty: float = 0.0
     max_steps: int = 0

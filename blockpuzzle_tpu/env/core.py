@@ -468,6 +468,7 @@ class VecBlockPuzzle:
             rng_counter=jnp.ones(num_envs, dtype=jnp.int32),
             steps=jnp.zeros(num_envs, dtype=jnp.int32),
             score=jnp.zeros(num_envs, dtype=jnp.float32),
+            streak=jnp.zeros(num_envs, dtype=jnp.int32),
         )
         zeros_f = jnp.zeros(num_envs, dtype=jnp.float32)
         zeros_b = jnp.zeros(num_envs, dtype=bool)
@@ -498,6 +499,7 @@ class VecBlockPuzzle:
             rng_counter=state.rng_counter + 1,
             steps=jnp.zeros_like(state.steps),
             score=jnp.zeros_like(state.score),
+            streak=jnp.zeros_like(state.streak),
         )
         zeros_f = jnp.zeros(n, dtype=jnp.float32)
         zeros_b = jnp.zeros(n, dtype=bool)
@@ -543,6 +545,7 @@ class VecBlockPuzzle:
             rng_counter=state.rng_counter + 1,
             steps=jnp.where(m, 0, state.steps),
             score=jnp.where(m, 0.0, state.score),
+            streak=jnp.where(m, 0, state.streak),
         )
         zeros_b = jnp.zeros(n, dtype=bool)
         ts = TimeStep(
@@ -662,6 +665,26 @@ class VecBlockPuzzle:
             cfg.cell_reward * cells_placed.astype(jnp.float32) + bonus,
             jnp.float32(cfg.illegal_penalty),
         )
+        # Woodoku-style streak (cfg.streak_bonus, static knob: zero cost
+        # when disabled): consecutive clearing placements pay
+        # streak_bonus * (streak - 1); a legal non-clearing placement
+        # resets the streak; illegal no-ops leave it unchanged
+        if cfg.streak_bonus:
+            cleared_now = jnp.logical_and(legal, k > 0)
+            streak_next = jnp.where(
+                cleared_now,
+                state.streak + 1,
+                jnp.where(legal, 0, state.streak),
+            )
+            reward = jnp.where(
+                cleared_now,
+                reward
+                + jnp.float32(cfg.streak_bonus)
+                * (streak_next - 1).astype(jnp.float32),
+                reward,
+            )
+        else:
+            streak_next = state.streak
 
         # -- queue consume + refill --------------------------------------
         consumed = jnp.logical_and(slot_onehot, legal[:, None])
@@ -715,6 +738,7 @@ class VecBlockPuzzle:
             "legal": legal,
             "episode_return": score_next,
             "episode_length": steps_next,
+            "streak": streak_next,
         }
 
         # -- auto-reset (fused; SURVEY.md §3.3) --------------------------
@@ -733,6 +757,7 @@ class VecBlockPuzzle:
             )
             steps_out = jnp.where(done, 0, steps_next)
             score_out = jnp.where(done, 0.0, score_next)
+            streak_out = jnp.where(done, 0, streak_next)
             # pre-reset ("final") observation for Gym-adapter and learner
             # consumers (truncation bootstrapping); identical to the live
             # obs for non-done envs
@@ -744,6 +769,7 @@ class VecBlockPuzzle:
         else:
             board_out, queue_out, mask_out = board_next, queue3, mask
             steps_out, score_out = steps_next, score_next
+            streak_out = streak_next
 
         new_state = EnvState(
             board=board_out,
@@ -752,6 +778,7 @@ class VecBlockPuzzle:
             rng_counter=state.rng_counter + 1,
             steps=steps_out,
             score=score_out,
+            streak=streak_out,
         )
         ts = TimeStep(
             board=board_out.reshape(n, cfg.height, cfg.width),

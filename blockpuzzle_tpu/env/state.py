@@ -30,6 +30,8 @@ class EnvState:
         BASELINE.json ("Python random → jax.random").
       steps: (N,) int32 steps in the current episode (reset on episode end).
       score: (N,) float32 return accumulated in the current episode.
+      streak: (N,) int32 consecutive-clear counter (``cfg.streak_bonus``
+        mechanic; stays all-zero when the knob is 0.0).
     """
 
     board: jax.Array
@@ -38,6 +40,7 @@ class EnvState:
     rng_counter: jax.Array
     steps: jax.Array
     score: jax.Array
+    streak: jax.Array
 
     @property
     def num_envs(self) -> int:

@@ -87,6 +87,7 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
         self.score = 0.0
         self.steps = 0
         self.lines_cleared_total = 0
+        self.streak = 0
 
     # -- RNG / dealing ------------------------------------------------------
 
@@ -212,6 +213,7 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
             "action_mask": self.legal_action_mask() if mask is None else mask,
             "score": self.score,
             "lines_cleared_total": self.lines_cleared_total,
+            "streak": self.streak,
         }
         info.update(extra)
         return info
@@ -236,6 +238,7 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
         self.score = 0.0
         self.steps = 0
         self.lines_cleared_total = 0
+        self.streak = 0
         self._refill()
         if options:
             unknown = set(options) - {"board", "queue"}
@@ -283,6 +286,17 @@ class BlockPuzzleOracleEnv(gymnasium.Env):
             lines = self._clear()
             self.lines_cleared_total += lines
             reward = cfg.cell_reward * cells + rules.line_bonus(cfg, lines)
+            # Woodoku-style streak (static knob, mirrors the engine's gate:
+            # the counter stays 0 when disabled): consecutive clearing
+            # placements pay streak_bonus * (streak - 1); a non-clearing
+            # placement resets the streak (illegal no-ops leave it
+            # unchanged)
+            if cfg.streak_bonus:
+                if lines > 0:
+                    self.streak += 1
+                    reward += cfg.streak_bonus * (self.streak - 1)
+                else:
+                    self.streak = 0
             self.queue[slot] = self._empty_id
             self._refill()
         else:

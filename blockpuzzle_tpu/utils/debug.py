@@ -53,3 +53,10 @@ def validate_env_state(env, state) -> None:
         assert (queue < env.empty_id).all(), (
             "refill-each mode must never expose an empty slot"
         )
+    chex.assert_shape(state.streak, (n,))
+    streak = np.asarray(state.streak)
+    assert (streak >= 0).all(), "streak counter went negative"
+    if not cfg.streak_bonus:
+        assert (streak == 0).all(), (
+            "streak must stay zero while cfg.streak_bonus is disabled"
+        )

@@ -113,6 +113,51 @@ def test_auto_reset_reinitializes_done_envs():
     assert int(state2.steps[1]) == 1
 
 
+def test_streak_bonus_engine_matches_spec():
+    import dataclasses
+
+    cfg = dataclasses.replace(default_config(), streak_bonus=5.0)
+    env = make_env(cfg)
+    state, _ = env.init(jax.random.key(0), 2)
+    board = np.zeros((2, 100), dtype=np.uint8)
+    board[0, 5:10] = 1   # env0 row 0 needs cells 0-4
+    board[0, 15:20] = 1  # env0 row 1 too
+    state = state.replace(
+        board=jnp.asarray(board),
+        queue=jnp.asarray([[4], [4]], dtype=jnp.int32),  # 1x5 bars
+    )
+    a0 = rules.encode_action(cfg, 0, 0, 0)
+    state, ts = env.step(state, jnp.asarray([a0, a0]))
+    # env0 clears row 0 (streak starts, no extra); env1 places, no clear
+    assert float(ts.reward[0]) == 15.0 and int(ts.info["streak"][0]) == 1
+    assert float(ts.reward[1]) == 5.0 and int(ts.info["streak"][1]) == 0
+    assert int(state.streak[0]) == 1
+    # second consecutive clear on env0 pays streak_bonus * 1
+    state = state.replace(queue=jnp.asarray([[4], [4]], dtype=jnp.int32))
+    a_env0 = rules.encode_action(cfg, 0, 1, 0)
+    a_env1 = rules.encode_action(cfg, 0, 5, 0)
+    state, ts = env.step(state, jnp.asarray([a_env0, a_env1]))
+    assert float(ts.reward[0]) == 20.0 and int(ts.info["streak"][0]) == 2
+    assert int(ts.info["streak"][1]) == 0
+    # an illegal no-op (out-of-range id) leaves env0's streak untouched
+    state, ts = env.step(
+        state, jnp.asarray([cfg.num_actions(), cfg.num_actions()])
+    )
+    assert float(ts.reward[0]) == 0.0 and int(ts.info["streak"][0]) == 2
+    assert int(state.streak[0]) == 2
+
+
+def test_streak_stays_zero_when_disabled():
+    env = make_env(default_config())
+    state, ts = env.init(jax.random.key(0), 8)
+    for _ in range(16):
+        mask = np.asarray(ts.action_mask)
+        a = jnp.asarray([int(np.flatnonzero(m)[0]) for m in mask])
+        state, ts = env.step(state, a)
+    assert int(np.asarray(state.streak).sum()) == 0
+    assert int(np.asarray(ts.info["streak"]).sum()) == 0
+
+
 def test_partial_reset_touches_only_masked_envs():
     cfg = default_config()
     env = make_env(cfg)

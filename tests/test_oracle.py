@@ -133,6 +133,48 @@ def test_each_refill_semantics():
     assert obs["queue"][0] != env._empty_id  # refilled immediately
 
 
+def test_streak_bonus_rewards_consecutive_clears():
+    import dataclasses
+
+    cfg = dataclasses.replace(default_config(), streak_bonus=5.0)
+    env = _env_with_queue(cfg, [4])  # piece 4 = 1x5 bar
+    env.board[0, 5:] = 1  # rows 0 and 1 each need cells 0-4
+    env.board[1, 5:] = 1
+    # first clear: starts the streak, no extra bonus yet
+    obs, r, term, trunc, info = env.step(rules.encode_action(cfg, 0, 0, 0))
+    assert info["lines_cleared"] == 1 and info["streak"] == 1
+    assert r == 5.0 + 10.0
+    # second consecutive clear: pays streak_bonus * (2 - 1)
+    env.queue[:] = [4]
+    obs, r, term, trunc, info = env.step(rules.encode_action(cfg, 0, 1, 0))
+    assert info["lines_cleared"] == 1 and info["streak"] == 2
+    assert r == 5.0 + 10.0 + 5.0
+    # a legal non-clearing placement resets the streak
+    env.queue[:] = [0]  # 1x1
+    obs, r, term, trunc, info = env.step(rules.encode_action(cfg, 0, 5, 5))
+    assert info["lines_cleared"] == 0 and info["streak"] == 0 and r == 1.0
+    # re-arm a streak, then verify an illegal no-op leaves it unchanged
+    env.board[2, 1:] = 1
+    env.queue[:] = [0]
+    obs, r, term, trunc, info = env.step(rules.encode_action(cfg, 0, 2, 0))
+    assert info["streak"] == 1
+    env.queue[:] = [0]
+    obs, r, term, trunc, info = env.step(rules.encode_action(cfg, 0, 5, 5))
+    assert not info["legal"] and r == 0.0 and info["streak"] == 1
+
+
+def test_streak_disabled_by_default():
+    env = _env_with_queue(default_config(), [4])
+    env.board[0, 5:] = 1
+    env.board[1, 5:] = 1
+    obs, r1, *_ , i1 = env.step(rules.encode_action(default_config(), 0, 0, 0))
+    env.queue[:] = [4]
+    obs, r2, *_ , i2 = env.step(rules.encode_action(default_config(), 0, 1, 0))
+    # consecutive clears pay identically with the knob off
+    assert r1 == r2 == 15.0
+    assert i1["streak"] == i2["streak"] == 0
+
+
 def test_region_clear_woodoku():
     cfg = woodoku_config()
     env = BlockPuzzleOracleEnv(cfg)

@@ -144,3 +144,34 @@ def test_parity_mini5_piece_set():
         seed=1,
         max_steps=200,
     )
+
+
+def test_parity_streak_bonus_config():
+    """streak_bonus rewards must match the oracle bit-for-bit.  A 5x5
+    mini5 board clears constantly under random play, so recorded episodes
+    genuinely exercise consecutive-clear bonuses (asserted below, not
+    assumed)."""
+    import random as pyrandom
+
+    from blockpuzzle_tpu.config import EnvConfig
+    from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
+
+    cfg = EnvConfig(height=5, width=5, piece_set="mini5", streak_bonus=7.0)
+    # sanity: the seeded episode actually reaches a streak >= 2 (bonus > 0)
+    probe = BlockPuzzleOracleEnv(cfg)
+    obs, info = probe.reset(seed=0)
+    rng = pyrandom.Random(0)
+    best = 0
+    for _ in range(300):
+        legal = np.flatnonzero(info["action_mask"])
+        if legal.size == 0:
+            obs, info = probe.reset()
+            continue
+        obs, r, term, trunc, info = probe.step(int(rng.choice(legal)))
+        best = max(best, info["streak"])
+        if term or trunc:
+            obs, info = probe.reset()
+    assert best >= 2, f"seed produced no streak bonus (max streak {best})"
+
+    for seed in (0, 2):
+        replay_and_compare(cfg, seed=seed, max_steps=300)
