@@ -13,7 +13,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.learn import PPO, PPOConfig
 from blockpuzzle_tpu.utils import CheckpointManager
@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algo", choices=["ppo", "dqn"], default="ppo",
                    help="which learner produced the checkpoint")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--env", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any EnvConfig field on top of --preset "
+                        "(repeatable), e.g. --env streak_bonus=5 "
+                        "--env queue_size=3")
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--steps", type=int, default=1024, help="eval env steps")
     p.add_argument("--greedy", action="store_true",
@@ -47,7 +51,11 @@ def main(argv=None) -> int:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    env = make_env(PRESETS[args.preset]())
+    try:
+        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    env = make_env(cfg)
     cfg = env.cfg
     if args.algo == "ppo":
         net = PPO(

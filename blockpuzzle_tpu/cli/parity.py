@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.oracle import record_trajectory
 
@@ -161,6 +161,10 @@ def check_batched_lockstep(cfg, env, seeds, max_steps: int) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="seeded oracle↔device parity check")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--env", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any EnvConfig field on top of --preset "
+                        "(repeatable), e.g. --env streak_bonus=5 "
+                        "--env queue_size=3")
     p.add_argument("--seeds", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=512)
     p.add_argument("--batch", action="store_true",
@@ -170,7 +174,10 @@ def main(argv=None) -> int:
     from blockpuzzle_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = PRESETS[args.preset]()
+    try:
+        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
+    except ValueError as e:
+        raise SystemExit(str(e))
     env = make_env(cfg)
     if args.batch:
         r = check_batched_lockstep(

@@ -11,12 +11,16 @@ import argparse
 
 import numpy as np
 
-from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="BlockPuzzle rollout driver")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--env", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any EnvConfig field on top of --preset "
+                        "(repeatable), e.g. --env streak_bonus=5 "
+                        "--env queue_size=3")
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
@@ -32,7 +36,11 @@ def run_render(args) -> int:
 
     from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
 
-    env = BlockPuzzleOracleEnv(PRESETS[args.preset](), render_mode="human")
+    try:
+        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    env = BlockPuzzleOracleEnv(cfg, render_mode="human")
     obs, info = env.reset(seed=args.seed)
     rng = random.Random(args.seed)
     for t in range(args.steps):
@@ -58,7 +66,11 @@ def run_batched(args) -> int:
 
     enable_compilation_cache()
 
-    env = make_env(PRESETS[args.preset]())
+    try:
+        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    env = make_env(cfg)
     state, ts = env.init_jit(jax.random.key(args.seed), args.num_envs)
 
     @jax.jit

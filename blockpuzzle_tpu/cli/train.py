@@ -16,7 +16,7 @@ import argparse
 import jax
 
 from blockpuzzle_tpu import dist
-from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.learn import DQN, DQNConfig, PPO, PPOConfig
 from blockpuzzle_tpu.utils import CheckpointManager, MetricsLogger, Throughput
@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="BlockPuzzle TPU trainer")
     p.add_argument("--algo", choices=["ppo", "dqn"], default="ppo")
     p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--env", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any EnvConfig field on top of --preset "
+                        "(repeatable), e.g. --env streak_bonus=5 "
+                        "--env queue_size=3")
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--updates", type=int, default=100)
     p.add_argument("--rollout-len", type=int, default=64)
@@ -91,7 +95,11 @@ def main(argv=None) -> int:
     if args.distributed:
         dist.init_distributed()
 
-    env = make_env(PRESETS[args.preset]())
+    try:
+        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    env = make_env(cfg)
     mesh = dist.make_mesh(tp=args.tp)
 
     if args.algo == "ppo":

@@ -125,3 +125,47 @@ PRESETS = {
     "woodoku": woodoku_config,
     "big": big_config,
 }
+
+
+def apply_env_overrides(cfg: EnvConfig, overrides) -> EnvConfig:
+    """Apply CLI ``KEY=VALUE`` strings onto a (frozen) EnvConfig.
+
+    Makes every config knob reachable from the CLIs without a dedicated
+    flag per knob (``--env streak_bonus=5 --env queue_size=3``).  Values
+    are coerced to the dataclass field's type; bools accept
+    true/false/1/0/yes/no.  Unknown keys and malformed values raise
+    ``ValueError`` with the valid key list.
+    """
+    import dataclasses
+
+    if not overrides:
+        return cfg
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    kwargs = {}
+    for item in overrides:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"--env expects KEY=VALUE, got {item!r}")
+        if key not in fields:
+            raise ValueError(
+                f"unknown EnvConfig field {key!r}; valid: {sorted(fields)}"
+            )
+        ftype = fields[key]
+        # dataclass field types arrive as strings under
+        # `from __future__ import annotations`
+        tname = ftype if isinstance(ftype, str) else ftype.__name__
+        if tname == "bool":
+            low = raw.strip().lower()
+            if low in ("1", "true", "yes"):
+                kwargs[key] = True
+            elif low in ("0", "false", "no"):
+                kwargs[key] = False
+            else:
+                raise ValueError(f"--env {key}: not a bool: {raw!r}")
+        elif tname == "int":
+            kwargs[key] = int(raw)
+        elif tname == "float":
+            kwargs[key] = float(raw)
+        else:
+            kwargs[key] = raw
+    return dataclasses.replace(cfg, **kwargs)

@@ -66,6 +66,32 @@ def test_region_masks_woodoku():
     np.testing.assert_array_equal(t.region_masks.sum(axis=0), np.ones(81))
 
 
+def test_apply_env_overrides():
+    from blockpuzzle_tpu.config import apply_env_overrides, default_config
+
+    cfg = apply_env_overrides(
+        default_config(),
+        ["streak_bonus=5", "queue_size=3", "refill_batch=true",
+         "piece_set=mini5"],
+    )
+    assert cfg.streak_bonus == 5.0 and cfg.queue_size == 3
+    assert cfg.refill_batch is True and cfg.piece_set == "mini5"
+    # no-op on empty, identity preserved
+    base = default_config()
+    assert apply_env_overrides(base, []) == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_env_overrides(base, ["bogus_knob=1"])
+    with _pytest.raises(ValueError):
+        apply_env_overrides(base, ["streak_bonus"])  # missing '='
+    with _pytest.raises(ValueError):
+        apply_env_overrides(base, ["refill_batch=maybe"])
+    with _pytest.raises(ValueError):
+        # coerced values still hit EnvConfig validation
+        apply_env_overrides(base, ["height=0"])
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         EnvConfig(height=0)
