@@ -30,6 +30,24 @@ def test_batched_path_reports_episode_stats(capsys):
     assert episodes > 0
 
 
+def test_env_overrides_reach_the_engine(capsys):
+    rc = rollout.main([
+        "--num-envs", "16", "--steps", "10", "--seed", "3",
+        "--env", "streak_bonus=5", "--env", "piece_set=mini5",
+        "--env", "height=5", "--env", "width=5",
+    ])
+    assert rc == 0
+    assert "env-steps" in capsys.readouterr().out
+
+
+def test_env_overrides_reject_unknown_key(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        rollout.main(["--env", "bogus=1"])
+    assert "unknown EnvConfig field" in str(e.value)
+
+
 def test_batched_path_rounds_steps_to_one_chunk(capsys):
     # --steps below the 100-step chunk still runs exactly one chunk
     rc = rollout.main(["--num-envs", "32", "--steps", "10", "--seed", "2"])
