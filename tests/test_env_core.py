@@ -77,6 +77,55 @@ def test_step_matches_oracle_single_transitions(rng):
         assert bool(ts.info["legal"][0]) == info["legal"]
 
 
+def test_step_matches_oracle_single_transitions_with_streak(rng):
+    """Random transitions from random STREAK states, engine vs oracle
+    (bit-equal rewards + streak counters under streak_bonus)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(default_config(), streak_bonus=3.0)
+    env = make_env(cfg)
+    oracle = BlockPuzzleOracleEnv(cfg)
+    step = jax.jit(
+        lambda s, a, d: env.step(s, a, deal_override=d, auto_reset=False)
+    )
+    cleared = 0
+    for trial in range(48):
+        b, q = _random_board_and_queue(cfg, rng)
+        if trial % 2 == 0:
+            # force a clearing transition: a row with one hole, a 1x1 in
+            # hand, and the action that plugs the hole
+            row = int(rng.integers(0, cfg.height))
+            hole = int(rng.integers(0, cfg.width))
+            b[row, :] = 1
+            b[row, hole] = 0
+            q[:] = 0  # piece 0 = 1x1
+            a = rules.encode_action(cfg, 0, row, hole)
+        else:
+            a = int(rng.integers(0, cfg.num_actions()))
+        streak0 = int(rng.integers(0, 4))
+        oracle.reset(seed=trial)
+        oracle.board[:] = b
+        oracle.queue[:] = q
+        oracle.streak = streak0
+        deal = np.array([[int(rng.integers(0, env.num_pieces))]], np.int32)
+
+        state, _ = env.init(jax.random.key(0), 1, deal_override=q[None])
+        state = state.replace(
+            board=jnp.asarray(b.reshape(1, -1), jnp.uint8),
+            streak=jnp.asarray([streak0], jnp.int32),
+        )
+        state, ts = step(state, jnp.asarray([a]), jnp.asarray(deal))
+
+        oracle._rng = _FixedDeals([int(deal[0, 0])])
+        obs, r, term, trunc, info = oracle.step(a)
+
+        assert float(ts.reward[0]) == r, f"trial {trial}"
+        assert int(ts.info["streak"][0]) == info["streak"], f"trial {trial}"
+        assert int(state.streak[0]) == oracle.streak, f"trial {trial}"
+        cleared += int(info["lines_cleared"] > 0)
+    assert cleared >= 5, f"too few clearing transitions ({cleared}) to be meaningful"
+
+
 class _FixedDeals:
     """random.Random stand-in feeding a fixed deal stream to the oracle."""
 
