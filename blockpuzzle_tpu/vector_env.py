@@ -158,6 +158,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
             ),
             steps=jnp.where(pending, old_state.steps, new_state.steps),
             score=jnp.where(pending, old_state.score, new_state.score),
+            streak=jnp.where(pending, old_state.streak, new_state.streak),
         )
         # engine (post-reset) obs rows carried to the NEXT combine
         raw = {
@@ -193,6 +194,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
         presented["episode_return"] = jnp.where(
             pending, 0.0, info["episode_return"]
         )
+        presented["streak"] = jnp.where(pending, 0, info["streak"])
         return state, raw, presented, done_now
 
     # ------------------------------------------------------------------
@@ -331,6 +333,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
             "action_mask": np.asarray(ts.action_mask),
             "lines_cleared": np.asarray(ts.info["lines_cleared"]),
             "episode_return": np.asarray(ts.info["episode_return"]),
+            "streak": np.asarray(ts.info["streak"]),
         }
         if done.any() and "final_board" in ts.info:
             # SAME_STEP only: DISABLED steps carry no reset, so the live
@@ -379,6 +382,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
             "action_mask": np.asarray(out["mask"]),
             "lines_cleared": np.asarray(out["lines_cleared"]),
             "episode_return": np.asarray(out["episode_return"]),
+            "streak": np.asarray(out["streak"]),
         }
         return (
             obs,
