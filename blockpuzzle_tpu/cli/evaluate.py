@@ -13,7 +13,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
+from blockpuzzle_tpu.config import PRESETS, cli_env_config
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.learn import PPO, PPOConfig
 from blockpuzzle_tpu.utils import CheckpointManager
@@ -51,10 +51,7 @@ def main(argv=None) -> int:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    try:
-        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
-    except ValueError as e:
-        raise SystemExit(str(e))
+    cfg = cli_env_config(args.preset, args.env)
     env = make_env(cfg)
     cfg = env.cfg
     if args.algo == "ppo":

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
+from blockpuzzle_tpu.config import PRESETS, cli_env_config
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.oracle import record_trajectory
 
@@ -174,10 +174,7 @@ def main(argv=None) -> int:
     from blockpuzzle_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    try:
-        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
-    except ValueError as e:
-        raise SystemExit(str(e))
+    cfg = cli_env_config(args.preset, args.env)
     env = make_env(cfg)
     if args.batch:
         r = check_batched_lockstep(

@@ -11,7 +11,7 @@ import argparse
 
 import numpy as np
 
-from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
+from blockpuzzle_tpu.config import PRESETS, cli_env_config
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,10 +36,7 @@ def run_render(args) -> int:
 
     from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
 
-    try:
-        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
-    except ValueError as e:
-        raise SystemExit(str(e))
+    cfg = cli_env_config(args.preset, args.env)
     env = BlockPuzzleOracleEnv(cfg, render_mode="human")
     obs, info = env.reset(seed=args.seed)
     rng = random.Random(args.seed)
@@ -66,10 +63,7 @@ def run_batched(args) -> int:
 
     enable_compilation_cache()
 
-    try:
-        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
-    except ValueError as e:
-        raise SystemExit(str(e))
+    cfg = cli_env_config(args.preset, args.env)
     env = make_env(cfg)
     state, ts = env.init_jit(jax.random.key(args.seed), args.num_envs)
 

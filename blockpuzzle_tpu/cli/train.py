@@ -16,7 +16,7 @@ import argparse
 import jax
 
 from blockpuzzle_tpu import dist
-from blockpuzzle_tpu.config import PRESETS, apply_env_overrides
+from blockpuzzle_tpu.config import PRESETS, cli_env_config
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.learn import DQN, DQNConfig, PPO, PPOConfig
 from blockpuzzle_tpu.utils import CheckpointManager, MetricsLogger, Throughput
@@ -95,10 +95,7 @@ def main(argv=None) -> int:
     if args.distributed:
         dist.init_distributed()
 
-    try:
-        cfg = apply_env_overrides(PRESETS[args.preset](), args.env)
-    except ValueError as e:
-        raise SystemExit(str(e))
+    cfg = cli_env_config(args.preset, args.env)
     env = make_env(cfg)
     mesh = dist.make_mesh(tp=args.tp)
 

@@ -136,8 +136,6 @@ def apply_env_overrides(cfg: EnvConfig, overrides) -> EnvConfig:
     true/false/1/0/yes/no.  Unknown keys and malformed values raise
     ``ValueError`` with the valid key list.
     """
-    import dataclasses
-
     if not overrides:
         return cfg
     fields = {f.name: f.type for f in dataclasses.fields(cfg)}
@@ -169,3 +167,16 @@ def apply_env_overrides(cfg: EnvConfig, overrides) -> EnvConfig:
         else:
             kwargs[key] = raw
     return dataclasses.replace(cfg, **kwargs)
+
+
+def cli_env_config(preset: str, overrides) -> EnvConfig:
+    """Preset lookup + ``--env KEY=VALUE`` overrides, exiting on bad input.
+
+    The shared entry point for every CLI (train/rollout/evaluate/parity):
+    malformed overrides become a clean ``SystemExit`` with the ``ValueError``
+    message instead of a traceback.
+    """
+    try:
+        return apply_env_overrides(PRESETS[preset](), overrides)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None

@@ -20,8 +20,11 @@ All three gymnasium autoreset conventions are supported via the
   done flags False, obs = reset observation).  Implemented adapter-side:
   the engine still auto-resets in-step, and a jitted combine substitutes
   the held-back reset state/obs for pending envs.
-* ``DISABLED``: no automatic reset; finished envs stay terminal (every
-  action is an illegal no-op) until the caller partially resets them with
+* ``DISABLED``: no automatic reset; finished envs are FROZEN — stepping
+  them is a no-op (state, observation, and episode stats bit-unchanged;
+  reward 0; the death-time terminated/truncated flags re-presented
+  sticky, so no penalty is re-applied and no bogus episodes accrue) until
+  the caller partially resets them with
   ``reset(options={"reset_mask": bool_(N,)})`` — the engine's
   ``partial_reset``, which re-deals ONLY the flagged envs from their own
   counter-based RNG streams and passes the rest through bit-untouched.
@@ -41,6 +44,7 @@ num_envs=N)`` returns this class.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -77,8 +81,6 @@ class BlockPuzzleVectorEnv(VectorEnv):
         if cfg is None:
             cfg = default_config()
         if overrides:
-            import dataclasses
-
             cfg = dataclasses.replace(cfg, **overrides)
         self.cfg = cfg
         self.engine = make_env(cfg, backend=backend)
@@ -93,6 +95,13 @@ class BlockPuzzleVectorEnv(VectorEnv):
                     f"autoreset_mode {autoreset_mode!r} not one of "
                     f"{[m.name.lower() for m in Mode]}"
                 ) from None
+        elif not isinstance(autoreset_mode, Mode):
+            # a wrong-typed value would otherwise silently degrade to
+            # SAME_STEP behavior with bogus metadata
+            raise TypeError(
+                f"autoreset_mode must be a str or AutoresetMode, got "
+                f"{autoreset_mode!r}"
+            )
         self.autoreset_mode = autoreset_mode
         # per-instance copy: wrappers inspect metadata["autoreset_mode"]
         self.metadata = {**type(self).metadata, "autoreset_mode": autoreset_mode}
@@ -118,11 +127,13 @@ class BlockPuzzleVectorEnv(VectorEnv):
         self._state = None
         self._last_ts = None
         self._pending = None  # NEXT_STEP: envs that finished last step
-        self._raw_obs = None  # NEXT_STEP: engine (post-reset) obs fields
+        self._raw_obs = None  # NEXT_STEP/DISABLED: engine obs field carry
+        self._dead = None  # DISABLED: envs frozen awaiting reset_mask
+        self._dead_term = None  # DISABLED: terminated flag at death
+        self._dead_trunc = None  # DISABLED: truncated flag at death
         # plain jit (no donation): callers may hold references across steps
-        auto = autoreset_mode is not Mode.DISABLED
         self._step_fn = jax.jit(
-            lambda st, a: self.engine.step(st, a, auto_reset=auto)
+            lambda st, a: self.engine.step(st, a, auto_reset=True)
         )
         self._partial_reset_fn = jax.jit(self.engine.partial_reset)
         # mask/plane recompute for reset(options=...) state overrides
@@ -130,7 +141,26 @@ class BlockPuzzleVectorEnv(VectorEnv):
             lambda b, q: self.engine.action_mask(b, q)
         )
         self._planes_fn = jax.jit(lambda q: self.engine.piece_planes(q))
-        self._combine_fn = jax.jit(self._next_step_combine)
+
+        # NEXT_STEP / DISABLED: engine step + convention combine fused
+        # into ONE jitted program — a second dispatch per step would
+        # double the per-step host->device RTT cost on remote platforms
+        def _step_next(old_state, actions, old_raw, pending):
+            new_state, ts = self.engine.step(old_state, actions,
+                                             auto_reset=True)
+            return self._next_step_combine(
+                new_state, ts, old_state, old_raw, pending
+            )
+
+        def _step_disabled(old_state, actions, old_raw, dead, dterm, dtrunc):
+            new_state, ts = self.engine.step(old_state, actions,
+                                             auto_reset=False)
+            return self._disabled_combine(
+                new_state, ts, old_state, old_raw, dead, dterm, dtrunc
+            )
+
+        self._step_next_fn = jax.jit(_step_next)
+        self._step_disabled_fn = jax.jit(_step_disabled)
 
     # ------------------------------------------------------------------
 
@@ -199,6 +229,59 @@ class BlockPuzzleVectorEnv(VectorEnv):
 
     # ------------------------------------------------------------------
 
+    def _disabled_combine(
+        self, new_state, new_ts, old_state, old_raw, dead, dterm, dtrunc
+    ):
+        """DISABLED autoreset: freeze envs that already finished.
+
+        A dead env's step must be a bit-exact no-op: without this, the
+        engine would keep recomputing ``terminated`` from the (still
+        empty) mask and re-apply ``terminal_penalty`` every step, and a
+        dead env under ``max_steps`` would keep counting toward a bogus
+        truncation — episode stats would drift one phantom episode per
+        step.  Dead rows restore their pre-step state wholesale (only
+        ``rng_counter`` keeps advancing, preserving the monotone-counter
+        invariant; its draws are unused while frozen), present reward 0,
+        and re-present the terminated/truncated flags recorded at death.
+        """
+
+        def w(p, a, b):
+            return jnp.where(p.reshape(p.shape + (1,) * (a.ndim - 1)), a, b)
+
+        state = new_state.replace(
+            board=w(dead, old_state.board, new_state.board),
+            queue=w(dead, old_state.queue, new_state.queue),
+            steps=jnp.where(dead, old_state.steps, new_state.steps),
+            score=jnp.where(dead, old_state.score, new_state.score),
+            streak=jnp.where(dead, old_state.streak, new_state.streak),
+        )
+        raw = {
+            "board": w(dead, old_raw["board"], new_ts.board),
+            "queue": w(dead, old_raw["queue"], new_ts.queue),
+            "mask": w(dead, old_raw["mask"], new_ts.action_mask),
+        }
+        presented = dict(raw)
+        if self.cfg.obs_planes:
+            raw["planes"] = w(dead, old_raw["planes"], new_ts.piece_planes)
+            presented["planes"] = raw["planes"]
+        info = new_ts.info
+        term_out = jnp.where(dead, dterm, new_ts.terminated)
+        trunc_out = jnp.where(dead, dtrunc, new_ts.truncated)
+        presented["reward"] = jnp.where(dead, 0.0, new_ts.reward)
+        presented["terminated"] = term_out
+        presented["truncated"] = trunc_out
+        presented["lines_cleared"] = jnp.where(
+            dead, 0, info["lines_cleared"]
+        )
+        presented["episode_return"] = jnp.where(
+            dead, old_state.score, info["episode_return"]
+        )
+        presented["streak"] = jnp.where(dead, old_state.streak, info["streak"])
+        dead_out = jnp.logical_or(dead, jnp.logical_or(term_out, trunc_out))
+        return state, raw, presented, dead_out, term_out, trunc_out
+
+    # ------------------------------------------------------------------
+
     def _raw_from_ts(self, ts) -> Dict[str, Any]:
         raw = {
             "board": ts.board,
@@ -244,10 +327,15 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 self._state, jnp.asarray(m, dtype=bool)
             )
             self._last_ts = ts
-            if self.autoreset_mode is gymnasium.vector.AutoresetMode.NEXT_STEP:
-                self._pending = jnp.logical_and(
-                    self._pending, jnp.logical_not(jnp.asarray(m, dtype=bool))
-                )
+            Mode = gymnasium.vector.AutoresetMode
+            alive = jnp.logical_not(jnp.asarray(m, dtype=bool))
+            if self.autoreset_mode is Mode.NEXT_STEP:
+                self._pending = jnp.logical_and(self._pending, alive)
+                self._raw_obs = self._raw_from_ts(ts)
+            elif self.autoreset_mode is Mode.DISABLED:
+                self._dead = jnp.logical_and(self._dead, alive)
+                self._dead_term = jnp.logical_and(self._dead_term, alive)
+                self._dead_trunc = jnp.logical_and(self._dead_trunc, alive)
                 self._raw_obs = self._raw_from_ts(ts)
             return self._obs(ts), {"action_mask": np.asarray(ts.action_mask)}
         if seed is None:
@@ -312,6 +400,9 @@ class BlockPuzzleVectorEnv(VectorEnv):
             )
         self._last_ts = ts
         self._pending = jnp.zeros(self.num_envs, dtype=bool)
+        self._dead = jnp.zeros(self.num_envs, dtype=bool)
+        self._dead_term = jnp.zeros(self.num_envs, dtype=bool)
+        self._dead_trunc = jnp.zeros(self.num_envs, dtype=bool)
         self._raw_obs = self._raw_from_ts(ts)
         infos = {"action_mask": np.asarray(ts.action_mask)}
         return self._obs(ts), infos
@@ -322,8 +413,11 @@ class BlockPuzzleVectorEnv(VectorEnv):
         if self._state is None:
             raise RuntimeError("call reset() before step()")
         actions = jnp.asarray(np.asarray(actions), dtype=jnp.int32)
-        if self.autoreset_mode is gymnasium.vector.AutoresetMode.NEXT_STEP:
+        Mode = gymnasium.vector.AutoresetMode
+        if self.autoreset_mode is Mode.NEXT_STEP:
             return self._step_next_step(actions)
+        if self.autoreset_mode is Mode.DISABLED:
+            return self._step_disabled(actions)
         self._state, ts = self._step_fn(self._state, actions)
         self._last_ts = ts
         terminated = np.asarray(ts.terminated)
@@ -336,8 +430,6 @@ class BlockPuzzleVectorEnv(VectorEnv):
             "streak": np.asarray(ts.info["streak"]),
         }
         if done.any() and "final_board" in ts.info:
-            # SAME_STEP only: DISABLED steps carry no reset, so the live
-            # obs IS the final obs and no final_* keys exist
             final_board = np.asarray(ts.info["final_board"])
             final_queue = np.asarray(ts.info["final_queue"])
             # gymnasium SAME_STEP convention key...
@@ -363,13 +455,48 @@ class BlockPuzzleVectorEnv(VectorEnv):
     def _step_next_step(self, actions) -> Tuple[
         Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
     ]:
-        old_state = self._state
-        new_state, ts = self._step_fn(old_state, actions)
-        self._state, self._raw_obs, out, done_now = self._combine_fn(
-            new_state, ts, old_state, self._raw_obs, self._pending
+        self._state, self._raw_obs, out, done_now = self._step_next_fn(
+            self._state, actions, self._raw_obs, self._pending
         )
         self._pending = done_now
-        self._last_ts = ts.replace(
+        self._last_ts = self._last_ts.replace(
+            board=out["board"], queue=out["queue"], action_mask=out["mask"]
+        )
+        obs = {
+            "board": np.asarray(out["board"]),
+            "queue": np.asarray(out["queue"]),
+        }
+        if self.cfg.obs_planes:
+            obs["piece_planes"] = np.asarray(out["planes"])
+        infos = {
+            "action_mask": np.asarray(out["mask"]),
+            "lines_cleared": np.asarray(out["lines_cleared"]),
+            "episode_return": np.asarray(out["episode_return"]),
+            "streak": np.asarray(out["streak"]),
+        }
+        return (
+            obs,
+            np.asarray(out["reward"]),
+            np.asarray(out["terminated"]),
+            np.asarray(out["truncated"]),
+            infos,
+        )
+
+    def _step_disabled(self, actions) -> Tuple[
+        Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
+    ]:
+        (
+            self._state,
+            self._raw_obs,
+            out,
+            self._dead,
+            self._dead_term,
+            self._dead_trunc,
+        ) = self._step_disabled_fn(
+            self._state, actions, self._raw_obs,
+            self._dead, self._dead_term, self._dead_trunc,
+        )
+        self._last_ts = self._last_ts.replace(
             board=out["board"], queue=out["queue"], action_mask=out["mask"]
         )
         obs = {

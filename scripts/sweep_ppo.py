@@ -127,16 +127,18 @@ def main() -> int:
     def interp(a, b, frac):
         return a + (b - a) * frac
 
+    # validate the flag combination BEFORE constructing the manager (a
+    # usage error must not leave an empty checkpoint dir behind)
+    if args.checkpoint_every and not args.checkpoint_dir:
+        p.error("--checkpoint-every requires --checkpoint-dir")
+    if args.checkpoint_every and len(args.configs) > 1:
+        # periodic step numbers would collide across configs
+        p.error("--checkpoint-every supports a single --configs entry")
     mgr = None
     if args.checkpoint_dir:
         from blockpuzzle_tpu.utils import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
-    if args.checkpoint_every and mgr is None:
-        p.error("--checkpoint-every requires --checkpoint-dir")
-    if args.checkpoint_every and len(args.configs) > 1:
-        # periodic step numbers would collide across configs
-        p.error("--checkpoint-every supports a single --configs entry")
 
     results = []
     best = None  # (greedy_return, name, host TrainState copy)

@@ -212,6 +212,75 @@ def test_vector_disabled_autoreset_and_partial_reset():
     env.close()
 
 
+def test_vector_disabled_freezes_dead_envs():
+    """A dead env's step is a bit-exact no-op: no penalty re-application,
+    no stat drift, sticky death flags (the engine alone would keep
+    recomputing terminated=True from the empty mask and re-add
+    terminal_penalty every step)."""
+    env = BlockPuzzleVectorEnv(
+        num_envs=32, autoreset_mode="disabled",
+        terminal_penalty=-50.0, illegal_penalty=-1.0,
+    )
+    obs, infos = env.reset(seed=6)
+    rng = np.random.default_rng(7)
+    done = np.zeros(32, dtype=bool)
+    for _ in range(200):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+        done = term | trunc
+        if done.any():
+            break
+    assert done.any(), "no episode finished in 200 steps"
+    i = int(np.flatnonzero(done)[0])
+    dead_board = obs["board"][i].copy()
+    dead_queue = obs["queue"][i].copy()
+    dead_return = infos["episode_return"][i]
+    dead_streak = infos["streak"][i]
+    for _ in range(3):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+        assert rewards[i] == 0.0  # NOT illegal_penalty + terminal_penalty
+        assert term[i] and not trunc[i]  # sticky death flags
+        assert infos["episode_return"][i] == dead_return  # no drift
+        assert infos["streak"][i] == dead_streak
+        assert infos["lines_cleared"][i] == 0
+        np.testing.assert_array_equal(obs["board"][i], dead_board)
+        np.testing.assert_array_equal(obs["queue"][i], dead_queue)
+    # reset_mask revives it
+    mask = np.zeros(32, dtype=bool)
+    mask[i] = True
+    obs, infos = env.reset(options={"reset_mask": mask})
+    actions = _legal_actions(infos["action_mask"], rng)
+    obs, rewards, term, trunc, infos = env.step(actions)
+    assert rewards[i] > 0.0 and not term[i]
+    env.close()
+
+
+def test_vector_disabled_freezes_truncated_envs():
+    """Truncated (not terminated) dead envs must freeze too: their mask is
+    NOT empty, so without the freeze they would keep placing pieces and
+    re-reporting truncated from a still-advancing step counter."""
+    env = BlockPuzzleVectorEnv(
+        num_envs=8, autoreset_mode="disabled", max_steps=5,
+    )
+    obs, infos = env.reset(seed=3)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+    assert trunc.all()
+    frozen_board = obs["board"].copy()
+    frozen_term = term.copy()
+    for _ in range(3):
+        actions = _legal_actions(infos["action_mask"], rng)
+        obs, rewards, term, trunc, infos = env.step(actions)
+        assert trunc.all()
+        np.testing.assert_array_equal(term, frozen_term)
+        assert (rewards == 0.0).all()
+        np.testing.assert_array_equal(obs["board"], frozen_board)
+    env.close()
+
+
 def test_vector_next_step_gymnasium_wrapper_interop():
     """gymnasium's own vector wrappers consume the NEXT_STEP convention."""
     from gymnasium.wrappers.vector import RecordEpisodeStatistics
