@@ -178,10 +178,12 @@ def main(argv=None) -> int:
         try:
             state = ckpt.restore(state)
         except Exception as e:
-            # Most common cause: the checkpoint predates an optimizer-layout
-            # change (e.g. DQN's adam -> scale_by_adam refactor changed the
-            # opt_state pytree structure). Surface that instead of orbax's
-            # structure-mismatch traceback.
+            # Checkpoints that merely PREDATE a new state field (e.g.
+            # EnvState.streak) are handled inside restore() by filling the
+            # new field from the template.  Reaching here means a harder
+            # mismatch — most commonly an optimizer-layout change (e.g.
+            # DQN's adam -> scale_by_adam refactor changed the opt_state
+            # pytree structure). Surface that instead of orbax's traceback.
             raise SystemExit(
                 f"--resume failed: checkpoint at {args.checkpoint_dir} does "
                 f"not match the current TrainState layout (often an "

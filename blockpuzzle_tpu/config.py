@@ -77,6 +77,18 @@ class EnvConfig:
             raise ValueError("board dimensions must be positive")
         if self.queue_size <= 0:
             raise ValueError("queue_size must be positive")
+        # validate here rather than at make_env time so a bad name from any
+        # construction path (--env piece_set=..., dataclasses.replace, direct
+        # kwargs) fails as ValueError — which cli_env_config turns into a
+        # clean SystemExit — instead of a raw traceback later.  Lazy import:
+        # rules.py imports this module at its top.
+        from blockpuzzle_tpu.rules import PIECE_SETS
+
+        if self.piece_set not in PIECE_SETS:
+            raise ValueError(
+                f"unknown piece_set {self.piece_set!r}; "
+                f"valid: {sorted(PIECE_SETS)}"
+            )
         if self.region_clear and (
             self.height % self.region_size or self.width % self.region_size
         ):

@@ -527,10 +527,16 @@ class VecBlockPuzzle:
 
         The batched analogue of gymnasium's ``AutoresetMode.DISABLED``
         contract (``reset(options={"reset_mask": ...})``): masked envs get
-        exactly the fused in-step auto-reset semantics — board cleared, a
-        fresh tag-1 deal from the env's own ``(base_key, rng_counter)``
-        stream, steps/score zeroed — while unmasked envs pass through
-        bit-untouched.  ``rng_counter`` advances for ALL envs (the monotone
+        the same KIND of re-initialization as the fused in-step auto-reset
+        — board cleared, a fresh deal from the env's own ``(base_key,
+        rng_counter)`` stream, steps/score/streak zeroed — while unmasked
+        envs pass through bit-untouched.  The dealt hands are NOT the same
+        pieces the fused path would have dealt at the same counter: this
+        path draws from the tag-1 substream (``fold_in(fold_in(key, c),
+        1)``) while the fast step path draws both its step deal and its
+        reset deal from one double-width untagged draw (``_deal_batch2``).
+        Both are deterministic and alias-free; they are just distinct
+        substreams.  ``rng_counter`` advances for ALL envs (the monotone
         counter scheme, env/state.py): unmasked envs skip a draw rather
         than ever replaying one.
         """

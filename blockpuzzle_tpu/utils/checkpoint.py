@@ -10,10 +10,23 @@ Sharded arrays save/restore with their sharding on the live mesh.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+
+def _key_name(k: Any) -> str:
+    """Normalize a pytree path key (GetAttrKey/DictKey/SequenceKey) to str."""
+    for attr in ("name", "key", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def _path_names(path) -> tuple:
+    return tuple(_key_name(k) for k in path)
 
 
 class CheckpointManager:
@@ -37,13 +50,95 @@ class CheckpointManager:
         return saved
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure/shardings of ``state_template``."""
+        """Restore into the structure/shardings of ``state_template``.
+
+        Forward compatibility: when ``state_template`` has leaves the saved
+        checkpoint lacks — a state field added AFTER the checkpoint was
+        written (e.g. ``EnvState.streak``, added with the streak-bonus
+        mechanic) — the saved leaves are restored and the new fields keep
+        the template's (freshly initialized) values, with a note on stderr.
+        Any other structure mismatch (removed/renamed/reshaped leaves)
+        still raises, because silently dropping saved state would corrupt
+        the resume.
+        """
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self._dir}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+        except ValueError:
+            restored = self._restore_filling_new_fields(
+                state_template, abstract, step
+            )
+            if restored is None:
+                raise
+            return restored
+
+    def _saved_leaf_paths(self, step: int) -> "set[tuple]":
+        """Leaf paths (as name tuples) present in the saved checkpoint."""
+        meta = ocp.PyTreeCheckpointer().metadata(
+            os.path.join(self._dir, str(step), "default")
+        )
+        tree = meta.item_metadata.tree
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return {_path_names(p) for p, _ in flat}
+
+    def _restore_filling_new_fields(
+        self, state_template: Any, abstract: Any, step: int
+    ) -> Optional[Any]:
+        """Partial restore for checkpoints that PREDATE new state fields.
+
+        Returns None (caller re-raises the original error) unless the only
+        difference is template-side leaves missing from the checkpoint.
+        """
+        try:
+            saved = self._saved_leaf_paths(step)
+        except Exception:
+            return None  # unreadable metadata: not a new-field mismatch
+        flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
+        missing = [p for p, _ in flat if _path_names(p) not in saved]
+        if not missing or len(missing) == len(flat):
+            return None  # a different kind of mismatch — let it raise
+        request = treedef.unflatten(
+            [
+                ocp.PLACEHOLDER if _path_names(p) not in saved else leaf
+                for p, leaf in flat
+            ]
+        )
+        # dedicated manager: orbax binds one handler type per manager
+        # instance (see restore_params)
+        with ocp.CheckpointManager(self._dir) as mgr:
+            out = mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item=request, partial_restore=True
+                ),
+            )
+        is_ph = lambda x: x is ocp.PLACEHOLDER
+        out_leaves = jax.tree_util.tree_leaves(out, is_leaf=is_ph)
+        tmpl_leaves = jax.tree_util.tree_leaves(state_template)
+        merged = []
+        for t_leaf, r_leaf in zip(tmpl_leaves, out_leaves):
+            if is_ph(r_leaf):
+                merged.append(t_leaf)  # new field: keep template init value
+            elif isinstance(t_leaf, jax.Array):
+                # re-lay restored leaves onto the template's sharding (the
+                # file's recorded sharding may be from a different topology)
+                merged.append(jax.device_put(r_leaf, t_leaf.sharding))
+            else:
+                merged.append(r_leaf)
+        filled = ", ".join(jax.tree_util.keystr(p) for p in missing)
+        print(
+            f"[checkpoint] step {step} predates state field(s) {filled}; "
+            f"restored the saved leaves and kept the template's fresh "
+            f"values for the new field(s)",
+            file=sys.stderr,
+        )
+        return treedef.unflatten(merged)
 
     def restore_params(self, params_template: Any, step: Optional[int] = None) -> Any:
         """Restore only the ``params`` subtree of a saved TrainState.

@@ -61,6 +61,11 @@ from blockpuzzle_tpu.config import EnvConfig, default_config
 from blockpuzzle_tpu.env import make_env
 
 
+def _w(p, a, b):
+    """Per-env where: broadcast (N,) predicate over trailing dims of a/b."""
+    return jnp.where(p.reshape(p.shape + (1,) * (a.ndim - 1)), a, b)
+
+
 class BlockPuzzleVectorEnv(VectorEnv):
     """N lockstep BlockPuzzle envs on one XLA device program."""
 
@@ -175,9 +180,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
         observation with reward 0 / done False.  Envs finishing THIS step
         present the final (pre-reset) observation instead of the reset one.
         """
-        def w(p, a, b):
-            return jnp.where(p.reshape(p.shape + (1,) * (a.ndim - 1)), a, b)
-
+        w = _w
         done_now = jnp.logical_and(new_ts.done, jnp.logical_not(pending))
         info = new_ts.info
         state = new_state.replace(
@@ -244,10 +247,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
         invariant; its draws are unused while frozen), present reward 0,
         and re-present the terminated/truncated flags recorded at death.
         """
-
-        def w(p, a, b):
-            return jnp.where(p.reshape(p.shape + (1,) * (a.ndim - 1)), a, b)
-
+        w = _w
         state = new_state.replace(
             board=w(dead, old_state.board, new_state.board),
             queue=w(dead, old_state.queue, new_state.queue),
@@ -323,12 +323,11 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 raise ValueError(
                     f"reset_mask shape {m.shape} != {(self.num_envs,)}"
                 )
-            self._state, ts = self._partial_reset_fn(
-                self._state, jnp.asarray(m, dtype=bool)
-            )
+            m_dev = jnp.asarray(m, dtype=bool)
+            self._state, ts = self._partial_reset_fn(self._state, m_dev)
             self._last_ts = ts
             Mode = gymnasium.vector.AutoresetMode
-            alive = jnp.logical_not(jnp.asarray(m, dtype=bool))
+            alive = jnp.logical_not(m_dev)
             if self.autoreset_mode is Mode.NEXT_STEP:
                 self._pending = jnp.logical_and(self._pending, alive)
                 self._raw_obs = self._raw_from_ts(ts)
@@ -452,13 +451,10 @@ class BlockPuzzleVectorEnv(VectorEnv):
             infos,
         )
 
-    def _step_next_step(self, actions) -> Tuple[
+    def _present(self, out: Dict[str, Any]) -> Tuple[
         Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
     ]:
-        self._state, self._raw_obs, out, done_now = self._step_next_fn(
-            self._state, actions, self._raw_obs, self._pending
-        )
-        self._pending = done_now
+        """Shared host-side packing for the NEXT_STEP/DISABLED step paths."""
         self._last_ts = self._last_ts.replace(
             board=out["board"], queue=out["queue"], action_mask=out["mask"]
         )
@@ -482,6 +478,15 @@ class BlockPuzzleVectorEnv(VectorEnv):
             infos,
         )
 
+    def _step_next_step(self, actions) -> Tuple[
+        Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
+    ]:
+        self._state, self._raw_obs, out, done_now = self._step_next_fn(
+            self._state, actions, self._raw_obs, self._pending
+        )
+        self._pending = done_now
+        return self._present(out)
+
     def _step_disabled(self, actions) -> Tuple[
         Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]
     ]:
@@ -496,28 +501,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
             self._state, actions, self._raw_obs,
             self._dead, self._dead_term, self._dead_trunc,
         )
-        self._last_ts = self._last_ts.replace(
-            board=out["board"], queue=out["queue"], action_mask=out["mask"]
-        )
-        obs = {
-            "board": np.asarray(out["board"]),
-            "queue": np.asarray(out["queue"]),
-        }
-        if self.cfg.obs_planes:
-            obs["piece_planes"] = np.asarray(out["planes"])
-        infos = {
-            "action_mask": np.asarray(out["mask"]),
-            "lines_cleared": np.asarray(out["lines_cleared"]),
-            "episode_return": np.asarray(out["episode_return"]),
-            "streak": np.asarray(out["streak"]),
-        }
-        return (
-            obs,
-            np.asarray(out["reward"]),
-            np.asarray(out["terminated"]),
-            np.asarray(out["truncated"]),
-            infos,
-        )
+        return self._present(out)
 
     def render(self):
         if self.render_mode != "rgb_array" or self._last_ts is None:

@@ -215,3 +215,58 @@ def test_restore_params_from_eval_shape_template(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     mgr2.close()
+
+
+def test_restore_fills_fields_added_after_save(tmp_path):
+    """Forward compat: a checkpoint saved BEFORE a state field existed
+    (e.g. EnvState.streak, added with the streak-bonus mechanic) must
+    still restore — saved leaves bit-exact, new fields kept from the
+    template — instead of failing with a structure mismatch."""
+    import chex
+
+    @chex.dataclass
+    class OldEnv:
+        board: jax.Array
+        score: jax.Array
+
+    @chex.dataclass
+    class NewEnv:
+        board: jax.Array
+        score: jax.Array
+        streak: jax.Array  # the post-checkpoint addition
+
+    old = {"env": OldEnv(board=jnp.arange(12.0).reshape(3, 4),
+                         score=jnp.float32(5.0)),
+           "step": jnp.int32(7)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(3, old)
+    mgr.close()
+
+    template = {"env": NewEnv(board=jnp.zeros((3, 4)),
+                              score=jnp.float32(0.0),
+                              streak=jnp.full((3,), -1, jnp.int32)),
+                "step": jnp.int32(0)}
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mgr2.restore(template)
+    mgr2.close()
+    np.testing.assert_array_equal(np.asarray(restored["env"].board),
+                                  np.asarray(old["env"].board))
+    assert float(restored["env"].score) == 5.0
+    assert int(restored["step"]) == 7
+    # the new field keeps the template's (fresh-init) value
+    np.testing.assert_array_equal(np.asarray(restored["env"].streak),
+                                  np.full((3,), -1, np.int32))
+
+
+def test_restore_still_raises_on_shape_mismatch(tmp_path):
+    """Only new-field mismatches are auto-filled; a reshaped leaf (a REAL
+    layout change) must still raise so a corrupt resume can't happen."""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(1, {"a": jnp.zeros((4,)), "b": jnp.int32(0)})
+    mgr.close()
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError):
+        mgr2.restore({"a": jnp.zeros((8,)), "b": jnp.int32(0)})
+    mgr2.close()
