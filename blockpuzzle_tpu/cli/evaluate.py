@@ -19,37 +19,68 @@ from blockpuzzle_tpu.learn import PPO, PPOConfig
 from blockpuzzle_tpu.utils import CheckpointManager
 
 
+# network/env flags default to None = "take it from the checkpoint's
+# run_meta.json"; an explicit flag always wins.  Fallbacks (pre-metadata
+# checkpoints) match cli.train's defaults.
+_META_DEFAULTS = {"algo": "ppo", "preset": "default", "torso": "conv",
+                  "mlp_width": 512, "queue_mode": "embed"}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="evaluate a trained policy")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--step", type=int, default=None, help="checkpoint step")
-    p.add_argument("--algo", choices=["ppo", "dqn"], default="ppo",
-                   help="which learner produced the checkpoint")
-    p.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    p.add_argument("--algo", choices=["ppo", "dqn"], default=None,
+                   help="which learner produced the checkpoint "
+                        "(default: from the checkpoint's run_meta.json)")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="env preset (default: from run_meta.json)")
     p.add_argument("--env", action="append", default=[], metavar="KEY=VALUE",
                    help="override any EnvConfig field on top of --preset "
                         "(repeatable), e.g. --env streak_bonus=5 "
-                        "--env queue_size=3")
+                        "--env queue_size=3; applied AFTER the checkpoint's "
+                        "recorded overrides")
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--steps", type=int, default=1024, help="eval env steps")
     p.add_argument("--greedy", action="store_true",
                    help="argmax policy instead of sampling")
-    p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
-                   help="must match the trained network's torso")
-    p.add_argument("--mlp-width", type=int, default=512,
-                   help="must match the trained network's mlp_width")
-    p.add_argument("--queue-mode", choices=["embed", "planes"],
-                   default="embed",
-                   help="must match the trained network's queue_mode")
+    p.add_argument("--torso", choices=["conv", "mlp"], default=None,
+                   help="network torso (default: from run_meta.json)")
+    p.add_argument("--mlp-width", type=int, default=None,
+                   help="mlp-torso width (default: from run_meta.json)")
+    p.add_argument("--queue-mode", choices=["embed", "planes"], default=None,
+                   help="hand representation (default: from run_meta.json)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     return p
+
+
+def _fill_from_run_meta(args, mgr) -> None:
+    """Fill unset network/env flags from the checkpoint's run_meta.json."""
+    meta = mgr.load_run_meta() or {}
+    detected = []
+    for field, fallback in _META_DEFAULTS.items():
+        if getattr(args, field) is None:
+            if field in meta:
+                detected.append(f"{field}={meta[field]}")
+            setattr(args, field, meta.get(field, fallback))
+    # checkpoint-recorded EnvConfig overrides apply first; explicit --env
+    # flags come after so they win (cli_env_config applies in order)
+    recorded = meta.get("env_overrides", [])
+    if recorded:
+        detected.append(f"env_overrides={recorded}")
+    args.env = list(recorded) + args.env
+    if detected:
+        print(f"[run_meta] {' '.join(detected)}")
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    mgr = CheckpointManager(args.checkpoint_dir)
+    _fill_from_run_meta(args, mgr)
 
     cfg = cli_env_config(args.preset, args.env)
     env = make_env(cfg)
@@ -77,7 +108,6 @@ def main(argv=None) -> int:
         jnp.zeros((1, cfg.queue_size), jnp.int32),
         jnp.zeros((1, cfg.num_actions()), bool),
     )
-    mgr = CheckpointManager(args.checkpoint_dir)
     # params-only restore: eval doesn't need the optimizer state, and this
     # stays compatible with checkpoints trained under any LR schedule
     params = mgr.restore_params(params_template, step=args.step)

@@ -172,6 +172,14 @@ def main(argv=None) -> int:
     state = jax.device_put(state, shardings)
 
     ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
+    if ckpt:
+        # self-describing checkpoint dir: cli.evaluate auto-fills its
+        # network/env flags from this (utils/checkpoint.py:save_run_meta)
+        ckpt.save_run_meta({
+            "algo": args.algo, "preset": args.preset,
+            "env_overrides": list(args.env), "torso": args.torso,
+            "mlp_width": args.mlp_width, "queue_mode": args.queue_mode,
+        })
     start = 0
     if ckpt and args.resume and ckpt.latest_step() is not None:
         start = ckpt.latest_step()

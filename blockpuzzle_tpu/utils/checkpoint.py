@@ -9,12 +9,15 @@ Sharded arrays save/restore with their sharding on the live mesh.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+RUN_META_FILE = "run_meta.json"
 
 
 def _key_name(k: Any) -> str:
@@ -172,6 +175,29 @@ class CheckpointManager:
                 ),
             )
         return restored["params"]
+
+    def save_run_meta(self, meta: dict) -> None:
+        """Make the checkpoint dir self-describing (``run_meta.json``).
+
+        Written once at train start with everything evaluation needs to
+        rebuild the network (algo, preset, env overrides, torso shape) —
+        ``cli.evaluate`` auto-fills its flags from it, so users don't have
+        to re-type (and can't mis-type) the training configuration.
+        Atomic write: evaluate never sees a half-written file.
+        """
+        path = os.path.join(self._dir, RUN_META_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+
+    def load_run_meta(self) -> Optional[dict]:
+        """Read ``run_meta.json`` if present (None for older checkpoints)."""
+        path = os.path.join(self._dir, RUN_META_FILE)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -139,6 +139,12 @@ def main() -> int:
         from blockpuzzle_tpu.utils import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
+        # self-describing checkpoint dir (cli.evaluate auto-fills from it)
+        mgr.save_run_meta({
+            "algo": "ppo", "preset": args.preset, "env_overrides": [],
+            "torso": args.torso, "mlp_width": args.mlp_width,
+            "queue_mode": args.queue_mode,
+        })
 
     results = []
     best = None  # (greedy_return, name, host TrainState copy)

@@ -28,3 +28,62 @@ def test_train_checkpoint_evaluate_round_trip(tmp_path, capsys):
     # --steps 10 with 32 envs: chunk length adapts to exactly 10 steps
     assert "[greedy] 320 env-steps" in out
     assert "episodes" in out
+
+
+def test_evaluate_autofills_from_run_meta(tmp_path, capsys):
+    """run_meta.json makes the checkpoint self-describing: evaluate needs
+    no network/env flags (the old conv/512 defaults would fail to restore
+    this mlp-64 checkpoint trained with an EnvConfig override)."""
+    ck = str(tmp_path / "ck")
+    rc = train.main([
+        "--updates", "2", "--num-envs", "16", "--rollout-len", "8",
+        "--minibatches", "2", "--torso", "mlp", "--mlp-width", "64",
+        "--env", "cell_reward=2.0",
+        "--checkpoint-dir", ck, "--checkpoint-every", "2",
+    ])
+    assert rc == 0
+    rc = evaluate.main([
+        "--checkpoint-dir", ck, "--num-envs", "32", "--steps", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "torso=mlp" in out and "mlp_width=64" in out
+    assert "env_overrides=['cell_reward=2.0']" in out
+    assert "restored checkpoint step 2" in out
+
+
+def test_evaluate_explicit_flag_beats_run_meta(tmp_path, capsys):
+    """An explicit --env flag applies AFTER the recorded overrides."""
+    ck = str(tmp_path / "ck")
+    rc = train.main([
+        "--updates", "2", "--num-envs", "16", "--rollout-len", "8",
+        "--minibatches", "2", "--torso", "mlp", "--mlp-width", "64",
+        "--env", "cell_reward=2.0",
+        "--checkpoint-dir", ck, "--checkpoint-every", "2",
+    ])
+    assert rc == 0
+    # rewards are env semantics, not network shape: overriding is legal
+    rc = evaluate.main([
+        "--checkpoint-dir", ck, "--num-envs", "16", "--steps", "4",
+        "--env", "cell_reward=1.0",
+    ])
+    assert rc == 0
+    assert "restored checkpoint step 2" in capsys.readouterr().out
+
+
+def test_evaluate_dqn_algo_from_run_meta(tmp_path, capsys):
+    """--algo dqn is auto-detected (QNetwork, not ActorCritic, template)."""
+    ck = str(tmp_path / "ck")
+    rc = train.main([
+        "--algo", "dqn", "--updates", "2", "--num-envs", "16",
+        "--buffer-size", "512", "--torso", "mlp", "--mlp-width", "64",
+        "--checkpoint-dir", ck, "--checkpoint-every", "2",
+    ])
+    assert rc == 0
+    rc = evaluate.main([
+        "--checkpoint-dir", ck, "--num-envs", "16", "--steps", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "algo=dqn" in out
+    assert "restored checkpoint step 2" in out
