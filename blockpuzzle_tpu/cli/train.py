@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN epsilon decay horizon (iterations)")
     p.add_argument("--target-update", type=int, default=500,
                    help="DQN target-net sync period (gradient steps)")
+    p.add_argument("--n-step", type=int, default=1,
+                   help="DQN n-step returns (1 = classic 1-step TD)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="network torso: CNN or pure-matmul MLP")
     p.add_argument("--mlp-width", type=int, default=512,
@@ -156,6 +158,7 @@ def main(argv=None) -> int:
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update, torso=args.torso,
             mlp_width=args.mlp_width, queue_mode=args.queue_mode,
+            n_step=args.n_step,
         ))
         from blockpuzzle_tpu.learn import default_dqn_hypers
 

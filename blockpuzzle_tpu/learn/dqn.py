@@ -68,6 +68,13 @@ class DQNConfig:
     mlp_width: int = 512  # mlp-torso matmul width (ignored by conv)
     queue_mode: str = "embed"  # "embed" | "planes" (see networks.Torso)
     sample_rng_impl: str = "rbg"  # see PPOConfig.sample_rng_impl
+    # n-step returns: each stored transition aggregates up to n rewards
+    # (R = sum_i gamma^i r_{t+i}, truncated at the first episode end) and
+    # bootstraps gamma^m * Q(s_{t+m}).  Computed at COLLECTION time via a
+    # pending window carried in DQNState; the replay stays packed (2 blobs,
+    # CLAUDE.md invariant) with one extra u8 byte (m) per row when n > 1.
+    # n_step=1 is bit-identical to the original path.
+    n_step: int = 1
 
 
 @struct.dataclass
@@ -101,6 +108,11 @@ class DQNState:
     key: jax.Array
     iter_count: jax.Array
     grad_count: jax.Array
+    # n_step > 1 only: the last (n-1) per-step transitions (dict of
+    # (n-1, N, ...) stacked arrays + a (n-1,) validity vector), carried
+    # across iterations so n-step windows span iteration boundaries.
+    # None when n_step == 1 (empty pytree subtree; layout unchanged).
+    pending: Any = None
 
 
 class DQN:
@@ -112,6 +124,10 @@ class DQN:
             )
         self.env = env
         self.cfg = cfg or DQNConfig()
+        if self.cfg.n_step < 1:
+            raise ValueError(f"n_step must be >= 1, got {self.cfg.n_step}")
+        if self.cfg.n_step >= 256:
+            raise ValueError("n_step is stored as a u8 byte; must be < 256")
         self.net = QNetwork(
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
@@ -138,6 +154,8 @@ class DQN:
             2 * env_cfg.num_cells + 2 * env_cfg.queue_size
             + 2 * env_cfg.num_actions() + 1
         )
+        if cfg.n_step > 1:
+            row_len += 1  # the per-row step count m (see DQNConfig.n_step)
         replay = Replay(
             bytes_buf=jnp.zeros((b, row_len), jnp.uint8),
             float_buf=jnp.zeros((b, 2), jnp.float32),
@@ -145,6 +163,24 @@ class DQN:
             filled=jnp.zeros((), jnp.int32),
         )
         del ts
+        pending = None
+        if cfg.n_step > 1:
+            w = cfg.n_step - 1
+            n, hw = cfg.num_envs, env_cfg.num_cells
+            s, a = env_cfg.queue_size, env_cfg.num_actions()
+            pending = {
+                "board": jnp.zeros((w, n, hw), jnp.uint8),
+                "queue": jnp.zeros((w, n, s), jnp.int32),
+                "action_mask": jnp.zeros((w, n, a), bool),
+                "action": jnp.zeros((w, n), jnp.int32),
+                "reward": jnp.zeros((w, n), jnp.float32),
+                "next_board": jnp.zeros((w, n, hw), jnp.uint8),
+                "next_queue": jnp.zeros((w, n, s), jnp.int32),
+                "next_mask": jnp.zeros((w, n, a), bool),
+                "terminated": jnp.zeros((w, n), bool),
+                "done": jnp.zeros((w, n), bool),
+                "valid": jnp.zeros((w,), bool),
+            }
         # fast PRNG for epsilon-greedy sampling (see PPOConfig note)
         k_run = reroot_key(k_run, self.cfg.sample_rng_impl)
         return DQNState(
@@ -158,6 +194,7 @@ class DQN:
             key=k_run,
             iter_count=jnp.zeros((), jnp.int32),
             grad_count=jnp.zeros((), jnp.int32),
+            pending=pending,
         )
 
     def observe(self, env_state: EnvState):
@@ -192,18 +229,18 @@ class DQN:
 
     def _pack(self, trans: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
         """Transitions dict -> (u8 rows (n, L8), f32 rows (n, 2))."""
-        rows = jnp.concatenate(
-            [
-                trans["board"],
-                trans["next_board"],
-                trans["queue"].astype(jnp.uint8),
-                trans["next_queue"].astype(jnp.uint8),
-                trans["action_mask"].astype(jnp.uint8),
-                trans["next_mask"].astype(jnp.uint8),
-                trans["terminated"].astype(jnp.uint8)[:, None],
-            ],
-            axis=1,
-        )
+        parts = [
+            trans["board"],
+            trans["next_board"],
+            trans["queue"].astype(jnp.uint8),
+            trans["next_queue"].astype(jnp.uint8),
+            trans["action_mask"].astype(jnp.uint8),
+            trans["next_mask"].astype(jnp.uint8),
+            trans["terminated"].astype(jnp.uint8)[:, None],
+        ]
+        if "m" in trans:  # n-step row: bootstrap exponent byte
+            parts.append(trans["m"].astype(jnp.uint8)[:, None])
+        rows = jnp.concatenate(parts, axis=1)
         floats = jnp.stack(
             [trans["reward"], trans["action"].astype(jnp.float32)], axis=1
         )
@@ -220,7 +257,7 @@ class DQN:
             o += width
             return part
 
-        return {
+        out = {
             "board": take(hw),
             "next_board": take(hw),
             "queue": take(s).astype(jnp.int32),
@@ -231,6 +268,9 @@ class DQN:
             "reward": floats[:, 0],
             "action": floats[:, 1].astype(jnp.int32),
         }
+        if self.cfg.n_step > 1:
+            out["m"] = take(1)[:, 0].astype(jnp.int32)
+        return out
 
     def _write_replay(self, replay: Replay, trans: Dict[str, jax.Array]) -> Replay:
         n = trans["action"].shape[0]
@@ -242,6 +282,79 @@ class DQN:
             cursor=(replay.cursor + n) % self.cfg.buffer_size,
             filled=jnp.minimum(replay.filled + n, self.cfg.buffer_size),
         )
+
+    def _write_replay_masked(
+        self, replay: Replay, trans: Dict[str, jax.Array], valid: jax.Array
+    ) -> Replay:
+        """Write only rows flagged in ``valid`` ((M,) bool), densely packed.
+
+        Invalid rows (start-up n-step windows rooted in not-yet-collected
+        pending slots) scatter to an out-of-bounds index under
+        ``mode="drop"`` — the buffer never sees them and the cursor
+        advances by the VALID count only, so the circular layout stays
+        dense.  One scatter per blob, same as the 1-step path.
+        """
+        b = self.cfg.buffer_size
+        rows, floats = self._pack(trans)
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        idx = jnp.where(valid, (replay.cursor + pos) % b, b)  # b == dropped
+        n_valid = valid.sum().astype(jnp.int32)
+        return replay.replace(
+            bytes_buf=replay.bytes_buf.at[idx].set(rows, mode="drop"),
+            float_buf=replay.float_buf.at[idx].set(floats, mode="drop"),
+            cursor=(replay.cursor + n_valid) % b,
+            filled=jnp.minimum(replay.filled + n_valid, b),
+        )
+
+    def _nstep_aggregate(
+        self, comb: Dict[str, jax.Array], gamma
+    ) -> Dict[str, jax.Array]:
+        """n-step transitions from (T', N, ...) per-step transitions.
+
+        ``comb`` holds T' = collect_steps + n - 1 time-stacked 1-step
+        transitions (pending window first).  Emission t (t < collect_steps)
+        aggregates rewards over the window [t, t+n) truncated at the first
+        episode end (``done``; auto-reset means later rows belong to the
+        NEXT episode), records m = steps actually included, and takes the
+        bootstrap observation from the window's final included row (its
+        pre-reset "final" obs).  All selection is static n-loops of
+        ``where`` — no gathers (CLAUDE.md hot-path rule).
+        """
+        n = self.cfg.n_step
+        k = self.cfg.collect_steps
+        out = []
+        for t in range(k):
+            alive = jnp.ones_like(comb["done"][t])          # (N,) bool
+            r_acc = jnp.zeros_like(comb["reward"][t])
+            m = jnp.zeros(r_acc.shape, jnp.int32)
+            for i in range(n):
+                af = alive.astype(jnp.float32)
+                r_acc = r_acc + af * (gamma ** i) * comb["reward"][t + i]
+                m = m + alive.astype(jnp.int32)
+                alive = jnp.logical_and(alive, ~comb["done"][t + i])
+            nb = comb["next_board"][t]
+            nq = comb["next_queue"][t]
+            nm = comb["next_mask"][t]
+            term = comb["terminated"][t]
+            for i in range(1, n):
+                sel = m == i + 1                              # (N,) bool
+                nb = jnp.where(sel[:, None], comb["next_board"][t + i], nb)
+                nq = jnp.where(sel[:, None], comb["next_queue"][t + i], nq)
+                nm = jnp.where(sel[:, None], comb["next_mask"][t + i], nm)
+                term = jnp.where(sel, comb["terminated"][t + i], term)
+            out.append({
+                "board": comb["board"][t],
+                "queue": comb["queue"][t],
+                "action_mask": comb["action_mask"][t],
+                "action": comb["action"][t],
+                "reward": r_acc,
+                "next_board": nb,
+                "next_queue": nq,
+                "next_mask": nm,
+                "terminated": term,
+                "m": m,
+            })
+        return {key: jnp.stack([o[key] for o in out]) for key in out[0]}
 
     # ------------------------------------------------------------------
 
@@ -270,7 +383,13 @@ class DQN:
         q_next = select_along_last(q_next_target, a_star)
         # terminal states (no legal action) bootstrap to 0
         q_next = jnp.where(sample["terminated"], 0.0, q_next)
-        target = sample["reward"] + gamma * q_next
+        if self.cfg.n_step > 1:
+            # n-step: reward already aggregates gamma^i r_{t+i} over the m
+            # included steps; the bootstrap discounts by gamma^m
+            gamma_n = jnp.power(gamma, sample["m"].astype(jnp.float32))
+        else:
+            gamma_n = gamma
+        target = sample["reward"] + gamma_n * q_next
         td = q_sa - jax.lax.stop_gradient(target)
         loss = jnp.square(td).mean()
         return loss, {"loss": loss, "q_mean": q_sa.mean(), "td_abs": jnp.abs(td).mean()}
@@ -318,12 +437,23 @@ class DQN:
                 "next_mask": ts.info["final_action_mask"],
                 "terminated": ts.terminated,
             }
-            replay = self._write_replay(replay, trans)
+            if cfg.n_step > 1:
+                # emit the 1-step transition (plus the episode-boundary
+                # flag the n-step window truncates on); the write happens
+                # after aggregation, outside the scan
+                trans["done"] = ts.done
+                y = trans
+            else:
+                replay = self._write_replay(replay, trans)
+                y = None
             ep = (ts.info["episode_return"] * ts.done, ts.done)
-            return (env_state, ts.board, ts.queue, ts.action_mask, replay, key), ep
+            return (
+                (env_state, ts.board, ts.queue, ts.action_mask, replay, key),
+                (y, ep),
+            )
 
         board0, queue0, mask0 = self.observe(state.env_state)
-        (env_state, board, queue, mask, replay, key), (ep_ret, dones) = (
+        (env_state, board, queue, mask, replay, key), (fresh, (ep_ret, dones)) = (
             jax.lax.scan(
                 collect,
                 (state.env_state, board0, queue0, mask0,
@@ -332,6 +462,31 @@ class DQN:
                 length=cfg.collect_steps,
             )
         )
+        pending = state.pending
+        if cfg.n_step > 1:
+            # pending window first, then this iteration's fresh steps
+            comb = {
+                k: jnp.concatenate([pending[k], fresh[k]], axis=0)
+                for k in fresh
+            }
+            agg = self._nstep_aggregate(comb, gamma)
+            # emission t is rooted at combined row t: valid iff that row is
+            # real (pending slots start invalid for the first n-1 rows ever)
+            comb_valid = jnp.concatenate(
+                [pending["valid"], jnp.ones((cfg.collect_steps,), bool)]
+            )                                                   # (K + n - 1,)
+            valid_t = comb_valid[: cfg.collect_steps]           # (K,)
+            n_envs = ep_ret.shape[1]
+            flat = {
+                k: v.reshape((cfg.collect_steps * n_envs,) + v.shape[2:])
+                for k, v in agg.items()
+            }
+            valid = jnp.repeat(valid_t, n_envs)
+            replay = self._write_replay_masked(replay, flat, valid)
+            pending = {
+                k: comb[k][cfg.collect_steps:] for k in fresh
+            }
+            pending["valid"] = comb_valid[cfg.collect_steps:]
 
         def grad_step(carry, _):
             params, target_params, opt_state, grad_count, key = carry
@@ -409,6 +564,7 @@ class DQN:
             key=key,
             iter_count=state.iter_count + 1,
             grad_count=grad_count,
+            pending=pending,
         )
         return new_state, metrics
 

@@ -28,6 +28,11 @@ All three gymnasium autoreset conventions are supported via the
   ``reset(options={"reset_mask": bool_(N,)})`` — the engine's
   ``partial_reset``, which re-deals ONLY the flagged envs from their own
   counter-based RNG streams and passes the rest through bit-untouched.
+  Note: ``partial_reset`` deals from a different (tag-1) substream than
+  the fused in-step auto-reset, so for the same seed a DISABLED-mode
+  trajectory diverges from a SAME_STEP/NEXT_STEP one after the first
+  reset.  Both are deterministic and alias-free; they are just distinct
+  substreams (see ``env/core.py:partial_reset``).
 
 Documented deviation from gymnasium's SAME_STEP convention:
 ``infos["final_obs"]`` is a dict of BATCHED arrays (``{"board": (N, H, W),

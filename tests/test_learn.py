@@ -359,3 +359,150 @@ def test_dqn_explore_only_picks_legal_actions(env):
                      jax.random.key(100 + i), eps=1.0)
         picked = np.asarray(mask)[np.arange(mask.shape[0]), np.asarray(a)]
         assert picked.all()
+
+
+def test_nstep_aggregate_synthetic(env):
+    """_nstep_aggregate: hand-computed window math incl. done truncation."""
+    cfg = DQNConfig(num_envs=2, collect_steps=2, n_step=3,
+                    hidden=16, channels=(4,))
+    dqn = DQN(env, cfg)
+    hw, s, a = 100, 1, 100
+    tprime, n = 4, 2
+    rng = np.random.default_rng(0)
+    comb = {
+        "board": jnp.asarray(rng.integers(0, 2, (tprime, n, hw)), jnp.uint8),
+        "queue": jnp.asarray(rng.integers(0, 19, (tprime, n, s)), jnp.int32),
+        "action_mask": jnp.asarray(rng.integers(0, 2, (tprime, n, a)), bool),
+        "action": jnp.asarray(rng.integers(0, a, (tprime, n)), jnp.int32),
+        "reward": jnp.asarray(
+            [[1.0, 10.0], [2.0, 20.0], [3.0, 30.0], [4.0, 40.0]]
+        ),
+        "next_board": jnp.asarray(
+            rng.integers(0, 2, (tprime, n, hw)), jnp.uint8
+        ),
+        "next_queue": jnp.asarray(
+            rng.integers(0, 19, (tprime, n, s)), jnp.int32
+        ),
+        "next_mask": jnp.asarray(rng.integers(0, 2, (tprime, n, a)), bool),
+        "terminated": jnp.asarray(
+            [[False, False], [True, False], [False, False], [False, True]]
+        ),
+        "done": jnp.asarray(
+            [[False, False], [True, False], [False, False], [False, True]]
+        ),
+    }
+    agg = jax.jit(dqn._nstep_aggregate, static_argnums=())(comb, 0.5)
+    # env0 t=0: r0 + 0.5*r1, stops at done row 1 -> m=2, next from row 1
+    # env1 t=0: 10 + 0.5*20 + 0.25*30 = 27.5, m=3, next from row 2
+    np.testing.assert_allclose(
+        np.asarray(agg["reward"][0]), [1 + 0.5 * 2, 27.5])
+    np.testing.assert_array_equal(np.asarray(agg["m"][0]), [2, 3])
+    np.testing.assert_array_equal(
+        np.asarray(agg["next_board"][0, 0]), np.asarray(comb["next_board"][1, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(agg["next_board"][0, 1]), np.asarray(comb["next_board"][2, 1]))
+    assert bool(agg["terminated"][0, 0]) is True
+    assert bool(agg["terminated"][0, 1]) is False
+    # env0 t=1: window starts at row 1 which is done -> m=1, R=r1
+    # env1 t=1: 20 + 0.5*30 + 0.25*40 = 45, m=3, terminated at row 3
+    np.testing.assert_allclose(np.asarray(agg["reward"][1]), [2.0, 45.0])
+    np.testing.assert_array_equal(np.asarray(agg["m"][1]), [1, 3])
+    assert bool(agg["terminated"][1, 0]) is True
+    assert bool(agg["terminated"][1, 1]) is True
+    np.testing.assert_array_equal(
+        np.asarray(agg["next_board"][1, 1]), np.asarray(comb["next_board"][3, 1]))
+    # source-side fields pass through from the window root
+    np.testing.assert_array_equal(
+        np.asarray(agg["board"]), np.asarray(comb["board"][:2]))
+    np.testing.assert_array_equal(
+        np.asarray(agg["action"]), np.asarray(comb["action"][:2]))
+
+
+def test_dqn_nstep_buffer_matches_1step_aggregation(env):
+    """End-to-end: the n=3 replay IS the n-step aggregate of the n=1 replay.
+
+    Same seed, min_buffer high enough that params never update -> both
+    learners produce identical action/transition streams; the n=3 buffer
+    rows must then equal the window math recomputed from the n=1 rows
+    (incl. the startup drop of the first n-1 emissions and gamma^m
+    bootstrap metadata).
+    """
+    n_envs, k_steps, n_step, iters = 8, 3, 3, 30
+    kw = dict(
+        num_envs=n_envs, buffer_size=1024, batch_size=8,
+        collect_steps=k_steps, grad_steps=1, min_buffer=10**6,
+        hidden=16, channels=(4,),
+    )
+    dqn_a = DQN(env, DQNConfig(**kw))                      # 1-step
+    dqn_b = DQN(env, DQNConfig(n_step=n_step, **kw))       # n-step
+    sa = dqn_a.init(jax.random.key(7))
+    sb = dqn_b.init(jax.random.key(7))
+    for _ in range(iters):
+        sa, _ = dqn_a.iteration_jit(sa)
+        sb, _ = dqn_b.iteration_jit(sb)
+    t_total = iters * k_steps
+    w = n_step - 1
+    assert int(sa.replay.filled) == t_total * n_envs
+    assert int(sb.replay.filled) == (t_total - w) * n_envs
+
+    a = dqn_a._unpack(
+        sa.replay.bytes_buf[: t_total * n_envs],
+        sa.replay.float_buf[: t_total * n_envs],
+    )
+    a = {kk: np.asarray(v).reshape((t_total, n_envs) + v.shape[1:])
+         for kk, v in a.items()}
+    b = dqn_b._unpack(
+        sb.replay.bytes_buf[: (t_total - w) * n_envs],
+        sb.replay.float_buf[: (t_total - w) * n_envs],
+    )
+    b = {kk: np.asarray(v).reshape((t_total - w, n_envs) + v.shape[1:])
+         for kk, v in b.items()}
+    # default config has max_steps=0 -> done == terminated
+    gamma = dqn_a.cfg.gamma
+    done = a["terminated"]
+    assert done.any(), "test needs at least one episode end in the window"
+    for g in range(t_total - w):
+        alive = np.ones(n_envs, bool)
+        r_exp = np.zeros(n_envs, np.float64)
+        m_exp = np.zeros(n_envs, np.int64)
+        for i in range(n_step):
+            r_exp += alive * (gamma ** i) * a["reward"][g + i]
+            m_exp += alive
+            alive &= ~done[g + i]
+        f = g + m_exp - 1
+        np.testing.assert_allclose(b["reward"][g], r_exp, rtol=1e-6)
+        np.testing.assert_array_equal(b["m"][g], m_exp)
+        np.testing.assert_array_equal(b["board"][g], a["board"][g])
+        np.testing.assert_array_equal(b["action"][g], a["action"][g])
+        np.testing.assert_array_equal(b["action_mask"][g], a["action_mask"][g])
+        for e in range(n_envs):
+            np.testing.assert_array_equal(
+                b["next_board"][g, e], a["next_board"][f[e], e])
+            np.testing.assert_array_equal(
+                b["next_queue"][g, e], a["next_queue"][f[e], e])
+            np.testing.assert_array_equal(
+                b["next_mask"][g, e], a["next_mask"][f[e], e])
+            assert b["terminated"][g, e] == a["terminated"][f[e], e]
+
+
+def test_dqn_nstep_trains(env):
+    """n_step=3 learner runs gradient steps and moves params (smoke)."""
+    cfg = DQNConfig(
+        num_envs=16, buffer_size=512, batch_size=32, collect_steps=2,
+        grad_steps=1, min_buffer=64, hidden=32, channels=(8,),
+        eps_decay_iters=10, n_step=3,
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(0))
+    state, m = dqn.iteration_jit(state)
+    # first iteration: 2 collect steps, n-1=2 startup emissions dropped
+    assert int(m["buffer_filled"]) == 0
+    p0 = jax.tree.map(np.array, state.params)
+    for _ in range(4):
+        state, m = dqn.iteration_jit(state)
+    assert int(m["buffer_filled"]) > 64
+    assert float(m["loss"]) > 0.0
+    diff = jax.tree.map(
+        lambda x, y: float(np.abs(x - np.asarray(y)).max()), p0, state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
