@@ -71,6 +71,10 @@ def main() -> int:
                    default="default")
     p.add_argument("--queue-mode", choices=["embed", "planes"],
                    default="embed")
+    p.add_argument("--shuffle", choices=["roll", "perm", "none"],
+                   default="roll",
+                   help="PPO minibatch scheme (quality A/B: roll saves ~27%% "
+                        "update time but leaves minibatches time-contiguous)")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     args = p.parse_args()
 
@@ -89,7 +93,7 @@ def main() -> int:
     ppo = PPO(env, PPOConfig(
         num_envs=args.num_envs, rollout_len=args.rollout_len,
         torso=args.torso, mlp_width=args.mlp_width,
-        queue_mode=args.queue_mode,
+        queue_mode=args.queue_mode, shuffle=args.shuffle,
     ))
     update = ppo.update_jit
 
@@ -191,6 +195,7 @@ def main() -> int:
             "torso": args.torso,
             "mlp_width": args.mlp_width,
             "queue_mode": args.queue_mode,
+            "shuffle": args.shuffle,
             **c,
             "updates": args.updates,
             "greedy_return": round(ret, 1),

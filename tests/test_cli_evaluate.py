@@ -8,8 +8,10 @@ scan).  Runs on the 8-device CPU sim (conftest).
 """
 
 from blockpuzzle_tpu.cli import evaluate, train
+import pytest
 
 
+@pytest.mark.slow
 def test_train_checkpoint_evaluate_round_trip(tmp_path, capsys):
     ck = str(tmp_path / "ck")
     rc = train.main([
@@ -30,6 +32,7 @@ def test_train_checkpoint_evaluate_round_trip(tmp_path, capsys):
     assert "episodes" in out
 
 
+@pytest.mark.slow
 def test_evaluate_autofills_from_run_meta(tmp_path, capsys):
     """run_meta.json makes the checkpoint self-describing: evaluate needs
     no network/env flags (the old conv/512 defaults would fail to restore
@@ -52,6 +55,7 @@ def test_evaluate_autofills_from_run_meta(tmp_path, capsys):
     assert "restored checkpoint step 2" in out
 
 
+@pytest.mark.slow
 def test_evaluate_explicit_flag_beats_run_meta(tmp_path, capsys):
     """An explicit --env flag applies AFTER the recorded overrides."""
     ck = str(tmp_path / "ck")
@@ -71,6 +75,7 @@ def test_evaluate_explicit_flag_beats_run_meta(tmp_path, capsys):
     assert "restored checkpoint step 2" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_evaluate_dqn_algo_from_run_meta(tmp_path, capsys):
     """--algo dqn is auto-detected (QNetwork, not ActorCritic, template)."""
     ck = str(tmp_path / "ck")

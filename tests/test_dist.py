@@ -14,6 +14,7 @@ from blockpuzzle_tpu import dist
 from blockpuzzle_tpu.config import default_config
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.learn import PPO, PPOConfig
+import pytest
 
 
 def test_make_mesh_shapes():
@@ -101,6 +102,7 @@ def test_tp2_mesh_shards_dense_kernel():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_sharded_ppo_update_matches_unsharded():
     """The mesh-sharded update equals the single-device update to float
     tolerance (reduction reorder only) — the dryrun's equivalence check,

@@ -97,6 +97,7 @@ def test_gae_simple_case(env):
     )
 
 
+@pytest.mark.slow
 def test_ppo_runtime_hypers_match_static(env):
     """update(state, default_hypers) matches update(state) to float
     tolerance — the sweep path (runtime scalars) has the same semantics as
@@ -154,6 +155,7 @@ def test_ppo_anneal_updates_decays_lr(env):
     )
 
 
+@pytest.mark.slow
 def test_ppo_multi_update_matches_sequential(env):
     """K scanned updates (one dispatch) match K sequential updates."""
     from blockpuzzle_tpu.learn import default_hypers
@@ -286,6 +288,7 @@ def test_ppo_update_on_tenten_preset():
     assert float(metrics["illegal_action_rate"]) == 0.0  # masked policy
 
 
+@pytest.mark.slow
 def test_dqn_runtime_hypers_match_static(env):
     """iteration(state, default_dqn_hypers(cfg, it)) == iteration(state)
     bit-for-bit (mirrors the PPO runtime-hypers equivalence test)."""
@@ -418,6 +421,7 @@ def test_nstep_aggregate_synthetic(env):
         np.asarray(agg["action"]), np.asarray(comb["action"][:2]))
 
 
+@pytest.mark.slow
 def test_dqn_nstep_buffer_matches_1step_aggregation(env):
     """End-to-end: the n=3 replay IS the n-step aggregate of the n=1 replay.
 

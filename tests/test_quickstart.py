@@ -8,8 +8,10 @@ user's first five minutes.
 import pathlib
 import subprocess
 import sys
+import pytest
 
 
+@pytest.mark.slow
 def test_quickstart_runs_all_sections():
     repo = pathlib.Path(__file__).resolve().parent.parent
     r = subprocess.run(

@@ -9,8 +9,10 @@ import json
 import pathlib
 import subprocess
 import sys
+import pytest
 
 
+@pytest.mark.slow
 def test_sweep_smoke_produces_summary(tmp_path):
     repo = pathlib.Path(__file__).resolve().parent.parent
     r = subprocess.run(
@@ -44,6 +46,7 @@ def test_sweep_smoke_produces_summary(tmp_path):
     assert (tmp_path / "ckpt").exists()
 
 
+@pytest.mark.slow
 def test_sweep_checkpoint_every_saves_mid_run_steps(tmp_path):
     """--checkpoint-every leaves evaluable mid-run checkpoints (long-run
     insurance: a cut-short 1M-update run still yields its latest policy)."""
