@@ -23,7 +23,7 @@ from blockpuzzle_tpu.utils import CheckpointManager
 # run_meta.json"; an explicit flag always wins.  Fallbacks (pre-metadata
 # checkpoints) match cli.train's defaults.
 _META_DEFAULTS = {"algo": "ppo", "preset": "default", "torso": "conv",
-                  "mlp_width": 512, "queue_mode": "embed"}
+                  "mlp_width": 512, "queue_mode": "embed", "dueling": False}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mlp-torso width (default: from run_meta.json)")
     p.add_argument("--queue-mode", choices=["embed", "planes"], default=None,
                    help="hand representation (default: from run_meta.json)")
+    p.add_argument("--dueling", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="DQN dueling head — changes the param tree "
+                        "(default: from run_meta.json)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     return p
@@ -97,7 +101,8 @@ def main(argv=None) -> int:
         net = DQN(
             env, DQNConfig(num_envs=args.num_envs, torso=args.torso,
                            mlp_width=args.mlp_width,
-                           queue_mode=args.queue_mode)
+                           queue_mode=args.queue_mode,
+                           dueling=bool(args.dueling))
         ).net
     # abstract params template via eval_shape — no device work, no env/opt
     # init (a full TrainState init costs minutes of remote compile here)

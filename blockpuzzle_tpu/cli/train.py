@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN target-net sync period (gradient steps)")
     p.add_argument("--n-step", type=int, default=1,
                    help="DQN n-step returns (1 = classic 1-step TD)")
+    p.add_argument("--dueling", action="store_true",
+                   help="DQN dueling value/advantage head")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="network torso: CNN or pure-matmul MLP")
     p.add_argument("--mlp-width", type=int, default=512,
@@ -158,7 +160,7 @@ def main(argv=None) -> int:
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update, torso=args.torso,
             mlp_width=args.mlp_width, queue_mode=args.queue_mode,
-            n_step=args.n_step,
+            n_step=args.n_step, dueling=args.dueling,
         ))
         from blockpuzzle_tpu.learn import default_dqn_hypers
 
@@ -182,6 +184,7 @@ def main(argv=None) -> int:
             "algo": args.algo, "preset": args.preset,
             "env_overrides": list(args.env), "torso": args.torso,
             "mlp_width": args.mlp_width, "queue_mode": args.queue_mode,
+            "dueling": args.dueling,  # changes the DQN param tree
         })
     start = 0
     if ckpt and args.resume and ckpt.latest_step() is not None:

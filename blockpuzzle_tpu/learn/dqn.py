@@ -75,6 +75,9 @@ class DQNConfig:
     # CLAUDE.md invariant) with one extra u8 byte (m) per row when n > 1.
     # n_step=1 is bit-identical to the original path.
     n_step: int = 1
+    # dueling value/advantage head (networks.QNetwork.dueling); advantage
+    # mean is over legal actions only
+    dueling: bool = False
 
 
 @struct.dataclass
@@ -132,7 +135,7 @@ class DQN:
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
             arch=self.cfg.torso, mlp_width=self.cfg.mlp_width,
-            queue_mode=self.cfg.queue_mode,
+            queue_mode=self.cfg.queue_mode, dueling=self.cfg.dueling,
         )
         # Direction-only optimizer: lr is applied in the iteration so it
         # can be a RUNTIME scalar (``hypers`` — same one-compile-per-sweep

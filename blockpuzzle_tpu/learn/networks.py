@@ -207,7 +207,14 @@ class ActorCritic(nn.Module):
 
 
 class QNetwork(nn.Module):
-    """Masked Q-network (DQN): illegal actions pinned to NEG_INF."""
+    """Masked Q-network (DQN): illegal actions pinned to NEG_INF.
+
+    ``dueling=True`` splits the head into state-value + advantage streams
+    (Wang et al. 2016), with the advantage mean taken over LEGAL actions
+    only — with masking, centering on illegal slots would let unused
+    logits shift the legal Q-values.  Both streams are MXU-rate matmuls;
+    the combine is fused elementwise work.
+    """
 
     cfg: EnvConfig
     num_pieces: int
@@ -216,6 +223,7 @@ class QNetwork(nn.Module):
     arch: str = "conv"
     mlp_width: int = 512
     queue_mode: str = "embed"
+    dueling: bool = False
 
     @nn.compact
     def __call__(
@@ -226,7 +234,19 @@ class QNetwork(nn.Module):
             arch=self.arch, mlp_width=self.mlp_width,
             queue_mode=self.queue_mode,
         )(board, queue)
-        q = MXUDense(self.cfg.num_actions(), kernel_partition=("tp", None))(h)
+        if self.dueling:
+            v = MXUDense(1, kernel_partition=("tp", None))(h)      # (..., 1)
+            adv = MXUDense(
+                self.cfg.num_actions(), kernel_partition=("tp", None)
+            )(h)
+            legal = action_mask.astype(jnp.float32)
+            n_legal = jnp.maximum(legal.sum(axis=-1, keepdims=True), 1.0)
+            adv_mean = (adv * legal).sum(axis=-1, keepdims=True) / n_legal
+            q = v + adv - adv_mean
+        else:
+            q = MXUDense(
+                self.cfg.num_actions(), kernel_partition=("tp", None)
+            )(h)
         return jnp.where(action_mask, q, NEG_INF)
 
 

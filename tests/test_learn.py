@@ -510,3 +510,40 @@ def test_dqn_nstep_trains(env):
         lambda x, y: float(np.abs(x - np.asarray(y)).max()), p0, state.params
     )
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_dqn_dueling_trains(env):
+    """Dueling head: distinct param tree, legal-only Q, params move."""
+    cfg = DQNConfig(
+        num_envs=16, buffer_size=512, batch_size=32, collect_steps=2,
+        grad_steps=1, min_buffer=64, hidden=32, channels=(8,),
+        eps_decay_iters=10, dueling=True, n_step=2,
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(0))
+    # two head matmuls instead of one: value (.., 1) + advantage (.., A)
+    def kshape(p):  # kernels are flax Partitioned boxes (tp metadata)
+        k = p["kernel"]
+        return (k.value if hasattr(k, "value") else k).shape
+
+    head_outs = sorted(
+        kshape(p)[-1]
+        for name, p in state.params["params"].items()
+        if name.startswith("MXUDense")
+    )
+    assert head_outs == [1, env.cfg.num_actions()]
+    # illegal actions stay pinned regardless of the dueling combine
+    _, ts = env.init(jax.random.key(1), 4)
+    q = dqn.net.apply(state.params, ts.board, ts.queue, ts.action_mask)
+    q = np.asarray(q)
+    mask = np.asarray(ts.action_mask)
+    assert (q[~mask] < -1e8).all()
+    assert (q[mask] > -1e8).all()
+    p0 = jax.tree.map(np.array, state.params)
+    for _ in range(4):
+        state, m = dqn.iteration_jit(state)
+    assert float(m["loss"]) > 0.0
+    diff = jax.tree.map(
+        lambda x, y: float(np.abs(x - np.asarray(y)).max()), p0, state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
