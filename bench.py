@@ -54,6 +54,12 @@ PRESET = os.environ.get("BP_BENCH_PRESET", "default")
 # selected piece kernel — no (N, P*HW) intermediate; measured 145.2M vs
 # 123.1M steps/s for "matmul", docs/RESULTS.md); "matmul" for comparison
 MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "shift")
+# engine backend: "jnp" (XLA-fused, the production default), "hybrid"
+# (jnp step + pallas mask kernel), "pallas" (all hand kernels) — lets the
+# kernel retirement verdict be re-checked under the EXACT headline
+# protocol (VERDICT r2 weak #4: bench_backends.py uses N=16384/100-step
+# chunks/no-unroll, so its 2.0-2.6x ratio wasn't apples-to-apples)
+BACKEND = os.environ.get("BP_BENCH_BACKEND", "jnp")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -111,7 +117,8 @@ def bench_device() -> float:
 
     num_envs = int(NUM_ENVS_RAW)  # validated in main() before the worker runs
 
-    env = make_env(PRESETS[PRESET](), mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL)
+    env = make_env(PRESETS[PRESET](), backend=BACKEND,
+                   mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL)
     state, ts = env.init_jit(jax.random.key(0), num_envs)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 
@@ -284,6 +291,7 @@ def main() -> int:
         ("BP_BENCH_PRESET", PRESET, sorted(PRESETS)),
         ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift"]),
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
+        ("BP_BENCH_BACKEND", BACKEND, ["jnp", "hybrid", "pallas"]),
     ):
         if value not in allowed:
             return _knob_error(f"{name}={value!r} not in {allowed}")

@@ -106,3 +106,15 @@ def test_main_fails_fast_on_bad_num_envs(monkeypatch, capsys):
         assert rc == 0
         parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert parsed["value"] == 0 and "BP_BENCH_NUM_ENVS" in parsed["error"]
+
+
+def test_main_fails_fast_on_bad_backend(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "BACKEND", "cuda")
+    monkeypatch.setattr(
+        bench, "_device_value_resilient",
+        lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+    )
+    rc = bench.main()
+    assert rc == 0
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["value"] == 0 and "BP_BENCH_BACKEND" in parsed["error"]
