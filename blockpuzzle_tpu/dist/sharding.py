@@ -87,6 +87,12 @@ def train_state_spec(train_state: Any, params_field: str = "params") -> Any:
             return P()
         if path.endswith(("cursor", "filled")):
             return P()
+        if path.startswith("pending"):
+            # DQN n-step window: (n-1, N, ...) — env axis is AXIS 1 (time
+            # window leads); the (n-1,) validity vector replicates
+            if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+                return P(None, ENV_AXIS)
+            return P()
         if hasattr(leaf, "ndim") and leaf.ndim >= 1:
             return P(ENV_AXIS)
         return P()

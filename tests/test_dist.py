@@ -208,3 +208,29 @@ def test_param_rules_shard_mlp_torso_kernel():
     state = jax.device_put(state, shardings)
     state2, metrics = jax.jit(ppo.update, donate_argnums=(0,))(state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_nstep_dqn_iteration_runs_on_mesh():
+    """n-step pending window shards on its ENV axis (axis 1), not axis 0."""
+    from blockpuzzle_tpu.learn import DQN, DQNConfig
+
+    mesh = dist.make_mesh()
+    env = make_env(default_config())
+    dqn = DQN(env, DQNConfig(num_envs=16, buffer_size=256, batch_size=8,
+                             collect_steps=2, min_buffer=4, hidden=32,
+                             channels=(8,), n_step=3))
+    state = dqn.init(jax.random.key(1))
+    specs = dist.train_state_spec(state)
+    from jax.sharding import PartitionSpec as P
+    assert specs.pending["valid"] == P()
+    assert specs.pending["board"] == P(None, "dp")
+    shardings = dist.to_named(mesh, specs)
+    state = jax.device_put(state, shardings)
+    it = jax.jit(dqn.iteration, donate_argnums=(0,))
+    state, metrics = it(state)
+    # first iteration: both emissions rooted at invalid startup slots
+    assert int(metrics["buffer_filled"]) == 0
+    state, metrics = it(state)
+    assert int(metrics["buffer_filled"]) == 32  # 2 valid emissions x 16
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.iter_count) == 2
