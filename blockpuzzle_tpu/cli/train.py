@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DQN n-step returns (1 = classic 1-step TD)")
     p.add_argument("--dueling", action="store_true",
                    help="DQN dueling value/advantage head")
+    p.add_argument("--per", action="store_true",
+                   help="DQN prioritized replay (proportional, "
+                        "Gumbel-top-k sampling; beta anneals to 1 over "
+                        "--eps-decay)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv",
                    help="network torso: CNN or pure-matmul MLP")
     p.add_argument("--mlp-width", type=int, default=512,
@@ -160,7 +164,7 @@ def main(argv=None) -> int:
             buffer_size=args.buffer_size, eps_decay_iters=args.eps_decay,
             target_update_every=args.target_update, torso=args.torso,
             mlp_width=args.mlp_width, queue_mode=args.queue_mode,
-            n_step=args.n_step, dueling=args.dueling,
+            n_step=args.n_step, dueling=args.dueling, per=args.per,
         ))
         from blockpuzzle_tpu.learn import default_dqn_hypers
 

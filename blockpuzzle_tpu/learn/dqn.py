@@ -44,6 +44,9 @@ def default_dqn_hypers(cfg: "DQNConfig", iteration: int = 0) -> Dict[str, float]
         "lr": cfg.lr,
         "eps": cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start),
         "gamma": cfg.gamma,
+        # PER importance exponent (ignored unless cfg.per); standard anneal
+        # beta -> 1 over the run, reusing the eps decay horizon
+        "beta": cfg.per_beta + frac * (1.0 - cfg.per_beta),
     }
 
 
@@ -78,6 +81,17 @@ class DQNConfig:
     # dueling value/advantage head (networks.QNetwork.dueling); advantage
     # mean is over legal actions only
     dueling: bool = False
+    # Prioritized experience replay (Schaul et al. 2016), proportional
+    # variant.  Sampling is Gumbel-top-k over alpha-scaled log-priorities —
+    # exact Plackett-Luce sampling WITHOUT replacement (one lax.top_k over
+    # the buffer per grad step; no sum-tree, which would be host-hostile on
+    # TPU).  TD errors are importance-weighted by (1/(n_filled*p_i))^beta
+    # normalized by the batch max; new rows enter at the running max
+    # priority; sampled rows' priorities update to |td| + per_eps.
+    per: bool = False
+    per_alpha: float = 0.6
+    per_beta: float = 0.4     # runtime-overridable via hypers["beta"]
+    per_eps: float = 1e-3
 
 
 @struct.dataclass
@@ -95,6 +109,9 @@ class Replay:
     float_buf: jax.Array    # (B, 2) float32: [reward, action]
     cursor: jax.Array       # () int32 — next write slot
     filled: jax.Array       # () int32 — number of valid entries
+    # PER only (None otherwise — empty pytree subtree, layout unchanged):
+    prio: Any = None        # (B,) float32 raw |td| priorities
+    max_prio: Any = None    # () float32 running max priority
 
 
 @struct.dataclass
@@ -131,6 +148,10 @@ class DQN:
             raise ValueError(f"n_step must be >= 1, got {self.cfg.n_step}")
         if self.cfg.n_step >= 256:
             raise ValueError("n_step is stored as a u8 byte; must be < 256")
+        if self.cfg.per and self.cfg.min_buffer < self.cfg.batch_size:
+            # Gumbel-top-k samples WITHOUT replacement: fewer filled rows
+            # than batch_size would select unfilled (-inf logit) slots
+            raise ValueError("per requires min_buffer >= batch_size")
         self.net = QNetwork(
             env.cfg, env.num_pieces,
             channels=self.cfg.channels, hidden=self.cfg.hidden,
@@ -164,6 +185,8 @@ class DQN:
             float_buf=jnp.zeros((b, 2), jnp.float32),
             cursor=jnp.zeros((), jnp.int32),
             filled=jnp.zeros((), jnp.int32),
+            prio=jnp.zeros((b,), jnp.float32) if cfg.per else None,
+            max_prio=jnp.ones((), jnp.float32) if cfg.per else None,
         )
         del ts
         pending = None
@@ -284,6 +307,10 @@ class DQN:
             float_buf=replay.float_buf.at[idx].set(floats),
             cursor=(replay.cursor + n) % self.cfg.buffer_size,
             filled=jnp.minimum(replay.filled + n, self.cfg.buffer_size),
+            # PER: fresh transitions enter at the running max priority
+            prio=(replay.prio.at[idx].set(replay.max_prio)
+                  if self.cfg.per else None),
+            max_prio=replay.max_prio,
         )
 
     def _write_replay_masked(
@@ -307,6 +334,9 @@ class DQN:
             float_buf=replay.float_buf.at[idx].set(floats, mode="drop"),
             cursor=(replay.cursor + n_valid) % b,
             filled=jnp.minimum(replay.filled + n_valid, b),
+            prio=(replay.prio.at[idx].set(replay.max_prio, mode="drop")
+                  if self.cfg.per else None),
+            max_prio=replay.max_prio,
         )
 
     def _nstep_aggregate(
@@ -361,8 +391,34 @@ class DQN:
 
     # ------------------------------------------------------------------
 
+    def _per_sample(
+        self, replay: Replay, key: jax.Array, beta
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(idx (batch,), is_weights (batch,)) — proportional PER draw.
+
+        Gumbel-top-k over alpha-scaled log-priorities = exact Plackett-Luce
+        sampling without replacement (one ``lax.top_k`` over the buffer —
+        no sum-tree; the tree's sequential structure is host-friendly but
+        TPU-hostile).  Unfilled slots are masked to -inf.  Importance
+        weights follow Schaul et al.: w = (1 / (n * p_i))^beta, normalized
+        by the batch max.  The idx gather is learner-path (batch rows), not
+        env hot-path, so the CLAUDE.md no-gather rule does not apply.
+        """
+        cfg = self.cfg
+        b = cfg.buffer_size
+        valid = jnp.arange(b) < replay.filled
+        logp = cfg.per_alpha * jnp.log(replay.prio + cfg.per_eps)
+        logits = jnp.where(valid, logp, -jnp.inf)
+        g = jax.random.gumbel(key, (b,))
+        _, idx = jax.lax.top_k(logits + g, cfg.batch_size)
+        palpha = jnp.where(valid, jnp.exp(logp), 0.0)
+        p = palpha[idx] / jnp.maximum(palpha.sum(), 1e-30)
+        n_filled = jnp.maximum(replay.filled.astype(jnp.float32), 1.0)
+        w = jnp.power(1.0 / (n_filled * jnp.maximum(p, 1e-30)), beta)
+        return idx, w / jnp.maximum(w.max(), 1e-30)
+
     def _td_loss(
-        self, params, target_params, sample, gamma=None
+        self, params, target_params, sample, gamma=None, weights=None
     ) -> Tuple[jax.Array, Dict]:
         cfg, env_cfg = self.cfg, self.env.cfg
         gamma = cfg.gamma if gamma is None else gamma
@@ -394,8 +450,15 @@ class DQN:
             gamma_n = gamma
         target = sample["reward"] + gamma_n * q_next
         td = q_sa - jax.lax.stop_gradient(target)
-        loss = jnp.square(td).mean()
-        return loss, {"loss": loss, "q_mean": q_sa.mean(), "td_abs": jnp.abs(td).mean()}
+        if weights is None:
+            loss = jnp.square(td).mean()
+        else:
+            loss = (weights * jnp.square(td)).mean()  # PER IS-correction
+        aux = {"loss": loss, "q_mean": q_sa.mean(), "td_abs": jnp.abs(td).mean()}
+        if weights is not None:
+            # per-sample |td| for the PER priority update (not a metric)
+            aux["td_abs_per"] = jax.lax.stop_gradient(jnp.abs(td))
+        return loss, aux
 
     # ------------------------------------------------------------------
 
@@ -414,10 +477,12 @@ class DQN:
             lr: Any = cfg.lr
             eps: Any = self._epsilon(state.iter_count)
             gamma: Any = cfg.gamma
+            beta: Any = cfg.per_beta
         else:
             lr = hypers["lr"]
             eps = hypers["eps"]
             gamma = hypers["gamma"]
+            beta = hypers.get("beta", cfg.per_beta)  # PER IS exponent
 
         def collect(carry, _):
             env_state, board, queue, mask, replay, key = carry
@@ -492,15 +557,27 @@ class DQN:
             pending["valid"] = comb_valid[cfg.collect_steps:]
 
         def grad_step(carry, _):
-            params, target_params, opt_state, grad_count, key = carry
+            params, target_params, opt_state, grad_count, key, rep = carry
             key, k_samp = jax.random.split(key)
-            idx = jax.random.randint(
-                k_samp, (cfg.batch_size,), 0, jnp.maximum(replay.filled, 1)
+            if cfg.per:
+                idx, weights = self._per_sample(rep, k_samp, beta)
+            else:
+                idx = jax.random.randint(
+                    k_samp, (cfg.batch_size,), 0, jnp.maximum(rep.filled, 1)
+                )
+                weights = None
+            sample = self._unpack(rep.bytes_buf[idx], rep.float_buf[idx])
+            grads, aux = jax.grad(self._td_loss, has_aux=True)(
+                params, target_params, sample, gamma, weights
             )
-            sample = self._unpack(replay.bytes_buf[idx], replay.float_buf[idx])
-            grads, metrics = jax.grad(self._td_loss, has_aux=True)(
-                params, target_params, sample, gamma
-            )
+            if cfg.per:
+                # sampled rows take their fresh |td| as priority
+                new_prio = aux.pop("td_abs_per") + cfg.per_eps
+                rep = rep.replace(
+                    prio=rep.prio.at[idx].set(new_prio),
+                    max_prio=jnp.maximum(rep.max_prio, new_prio.max()),
+                )
+            metrics = aux
             updates, opt_state = self.tx.update(grads, opt_state, params)
             # tx is direction-only (scale_by_adam); apply -lr here so lr
             # stays a runtime input (no recompile on anneal/sweep)
@@ -515,23 +592,18 @@ class DQN:
                 target_params,
                 params,
             )
-            return (params, target_params, opt_state, grad_count, key), metrics
+            return (
+                (params, target_params, opt_state, grad_count, key, rep),
+                metrics,
+            )
 
         warm = replay.filled >= cfg.min_buffer
 
         def do_updates(operand):
-            params, target_params, opt_state, grad_count, key = operand
-            (params, target_params, opt_state, grad_count, key), metrics = (
-                jax.lax.scan(
-                    grad_step,
-                    (params, target_params, opt_state, grad_count, key),
-                    None,
-                    length=cfg.grad_steps,
-                )
+            carry, metrics = jax.lax.scan(
+                grad_step, operand, None, length=cfg.grad_steps
             )
-            return (params, target_params, opt_state, grad_count, key), jax.tree.map(
-                lambda x: x.mean(), metrics
-            )
+            return carry, jax.tree.map(lambda x: x.mean(), metrics)
 
         def skip_updates(operand):
             zero = {
@@ -540,13 +612,13 @@ class DQN:
             }
             return operand, zero
 
-        (params, target_params, opt_state, grad_count, key), metrics = (
+        (params, target_params, opt_state, grad_count, key, replay), metrics = (
             jax.lax.cond(
                 warm,
                 do_updates,
                 skip_updates,
                 (state.params, state.target_params, state.opt_state,
-                 state.grad_count, key),
+                 state.grad_count, key, replay),
             )
         )
 

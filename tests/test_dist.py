@@ -217,8 +217,8 @@ def test_sharded_nstep_dqn_iteration_runs_on_mesh():
     mesh = dist.make_mesh()
     env = make_env(default_config())
     dqn = DQN(env, DQNConfig(num_envs=16, buffer_size=256, batch_size=8,
-                             collect_steps=2, min_buffer=4, hidden=32,
-                             channels=(8,), n_step=3))
+                             collect_steps=2, min_buffer=8, hidden=32,
+                             channels=(8,), n_step=3, dueling=True, per=True))
     state = dqn.init(jax.random.key(1))
     specs = dist.train_state_spec(state)
     from jax.sharding import PartitionSpec as P

@@ -547,3 +547,69 @@ def test_dqn_dueling_trains(env):
         lambda x, y: float(np.abs(x - np.asarray(y)).max()), p0, state.params
     )
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_per_sample_respects_priorities_and_filled(env):
+    """Gumbel-top-k PER draw: unfilled rows never sampled, a dominant
+    priority is always in the batch, uniform priorities at beta=1 give
+    unit importance weights."""
+    from blockpuzzle_tpu.learn.dqn import Replay
+
+    cfg = DQNConfig(
+        num_envs=8, buffer_size=256, batch_size=16, min_buffer=16,
+        hidden=16, channels=(4,), per=True,
+    )
+    dqn = DQN(env, cfg)
+    prio = np.full(256, 1e-4, np.float32)
+    prio[7] = 1e6  # dominates everything
+    replay = Replay(
+        bytes_buf=jnp.zeros((256, 8), jnp.uint8),
+        float_buf=jnp.zeros((256, 2), jnp.float32),
+        cursor=jnp.zeros((), jnp.int32),
+        filled=jnp.asarray(64, jnp.int32),  # only the first 64 rows real
+        prio=jnp.asarray(prio),
+        max_prio=jnp.asarray(1e6, jnp.float32),
+    )
+    sample = jax.jit(dqn._per_sample)
+    for seed in range(5):
+        idx, w = sample(replay, jax.random.key(seed), 0.4)
+        idx = np.asarray(idx)
+        assert (idx < 64).all(), "sampled an unfilled slot"
+        assert 7 in idx, "dominant-priority row missing from the batch"
+        assert len(set(idx.tolist())) == 16, "sampling is without replacement"
+        w = np.asarray(w)
+        assert w.max() == 1.0 and (w > 0).all()
+    # uniform priorities, beta=1: every weight is exactly the batch max
+    replay_u = replay.replace(prio=jnp.full((256,), 0.5, jnp.float32))
+    _, w = sample(replay_u, jax.random.key(0), 1.0)
+    np.testing.assert_allclose(np.asarray(w), 1.0, rtol=1e-6)
+
+
+def test_dqn_per_trains_and_updates_priorities(env):
+    cfg = DQNConfig(
+        num_envs=16, buffer_size=512, batch_size=32, collect_steps=2,
+        grad_steps=2, min_buffer=32, hidden=32, channels=(8,),
+        eps_decay_iters=10, per=True,
+    )
+    dqn = DQN(env, cfg)
+    state = dqn.init(jax.random.key(0))
+    state, m = dqn.iteration_jit(state)  # fills 32 = min_buffer
+    p0 = jax.tree.map(np.array, state.params)
+    for _ in range(3):
+        state, m = dqn.iteration_jit(state)
+    assert float(m["loss"]) > 0.0
+    prio = np.asarray(state.replay.prio)
+    filled = int(state.replay.filled)
+    # sampled rows got |td|+eps priorities: no longer all at max_prio
+    assert len(np.unique(prio[:filled])) > 1
+    assert (prio[filled:] == 0).all()
+    assert float(state.replay.max_prio) >= 1.0
+    diff = jax.tree.map(
+        lambda x, y: float(np.abs(x - np.asarray(y)).max()), p0, state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_dqn_per_rejects_small_min_buffer(env):
+    with pytest.raises(ValueError):
+        DQN(env, DQNConfig(per=True, batch_size=64, min_buffer=32))
