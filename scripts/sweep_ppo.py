@@ -64,6 +64,11 @@ def main() -> int:
                         "updates (single-config long runs: a cut-short run "
                         "still leaves an evaluable policy; requires "
                         "--checkpoint-dir)")
+    p.add_argument("--keep", type=int, default=3,
+                   help="checkpoints retained (orbax max_to_keep); raise for "
+                        "peak-hunting runs where the best policy is NOT the "
+                        "last one (the 1M probe showed regression past ~350k "
+                        "updates — docs/RESULTS.md)")
     p.add_argument("--torso", choices=["conv", "mlp"], default="conv")
     p.add_argument("--mlp-width", type=int, default=512,
                    help="mlp-torso matmul width (ignored by conv)")
@@ -142,7 +147,7 @@ def main() -> int:
     if args.checkpoint_dir:
         from blockpuzzle_tpu.utils import CheckpointManager
 
-        mgr = CheckpointManager(args.checkpoint_dir)
+        mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=args.keep)
         # self-describing checkpoint dir (cli.evaluate auto-fills from it)
         mgr.save_run_meta({
             "algo": "ppo", "preset": args.preset, "env_overrides": [],
