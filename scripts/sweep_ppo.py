@@ -80,6 +80,23 @@ def main() -> int:
                    default="roll",
                    help="PPO minibatch scheme (quality A/B: roll saves ~27%% "
                         "update time but leaves minibatches time-contiguous)")
+    # Entropy-floor controller (round 3): the 1M-update probe showed the
+    # base recipe REGRESSES past ~350k updates as policy entropy collapses
+    # (0.17 -> 0.03 under a constant coefficient; docs/RESULTS.md).  Because
+    # entropy_coef is a RUNTIME scalar, the fix needs no learner change and
+    # no recompile: a host-side multiplicative controller at each log
+    # boundary (where metrics are device_get anyway) raises the coefficient
+    # whenever measured entropy sits below the floor.  The multiplier never
+    # drops below 1.0, so the configured schedule is a lower bound.
+    p.add_argument("--ent-floor", type=float, default=0.0,
+                   help="target policy entropy in nats (0 = controller off); "
+                        "the 300k peak ran at ~0.17, collapse sets in "
+                        "below ~0.12")
+    p.add_argument("--ent-adapt", type=float, default=1.0,
+                   help="controller rate: ent multiplier *= "
+                        "exp(rate * (floor - entropy)) per log boundary")
+    p.add_argument("--ent-max-mult", type=float, default=20.0,
+                   help="cap on the controller's coefficient multiplier")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     args = p.parse_args()
 
@@ -162,11 +179,12 @@ def main() -> int:
         state = ppo.init(jax.random.key(args.seed * 131 + ci))
         t0 = time.time()
         last_ret = 0.0
+        ent_mult = 1.0  # entropy-floor controller state (host-side)
         for u in range(args.updates):
             frac = u / max(args.updates - 1, 1)
             hypers = {
                 "lr": interp(c["lr0"], c["lr1"], frac),
-                "entropy_coef": interp(c["ent0"], c["ent1"], frac),
+                "entropy_coef": ent_mult * interp(c["ent0"], c["ent1"], frac),
                 "clip_eps": c["clip"],
                 "gamma": c["gamma"],
                 "gae_lambda": c["lam"],
@@ -175,10 +193,22 @@ def main() -> int:
             state, metrics = update(state, hypers)
             if (u + 1) % args.log_every == 0 or u == 0:
                 last_ret = float(metrics["episode_return"])
+                entropy = float(metrics["entropy"])
+                if args.ent_floor > 0.0:
+                    import math
+
+                    ent_mult = min(
+                        max(1.0, ent_mult
+                            * math.exp(args.ent_adapt
+                                       * (args.ent_floor - entropy))),
+                        args.ent_max_mult,
+                    )
                 print(
                     f"[{name}] update {u + 1}/{args.updates}: "
                     f"train return {last_ret:.1f} "
-                    f"entropy {float(metrics['entropy']):.3f}",
+                    f"entropy {entropy:.3f}"
+                    + (f" ent_mult {ent_mult:.2f}"
+                       if args.ent_floor > 0.0 else ""),
                     file=sys.stderr,
                 )
             if (args.checkpoint_every
@@ -202,6 +232,8 @@ def main() -> int:
             "queue_mode": args.queue_mode,
             "shuffle": args.shuffle,
             **c,
+            "ent_floor": args.ent_floor,
+            "ent_mult_final": round(ent_mult, 3),
             "updates": args.updates,
             "greedy_return": round(ret, 1),
             "eval_episodes": n_eps,
