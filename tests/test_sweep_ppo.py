@@ -98,3 +98,43 @@ def test_sweep_checkpoint_every_rejects_multi_config(tmp_path):
     )
     assert r.returncode != 0
     assert "single --configs entry" in r.stderr
+
+
+@pytest.mark.slow
+def test_sweep_entropy_floor_controller_raises_coef(tmp_path):
+    """--ent-floor: the host-side controller multiplies entropy_coef when
+    measured entropy sits below the floor (round-3 response to the 1M-probe
+    entropy collapse, docs/RESULTS.md).  An unreachable floor must drive the
+    multiplier up monotonically to the cap; ent-floor 0 must leave it 1.0."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "sweep_ppo.py"),
+            "--configs", "base",
+            "--updates", "6",
+            "--num-envs", "16",
+            "--rollout-len", "8",
+            "--eval-envs", "8",
+            "--eval-steps", "32",
+            "--platform", "cpu",
+            "--torso", "mlp",
+            "--mlp-width", "32",
+            "--log-every", "2",
+            "--ent-floor", "10.0",   # unreachable: ln(A) < 10 nats
+            "--ent-adapt", "5.0",
+            "--ent-max-mult", "7.5",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(
+        [l for l in r.stdout.strip().splitlines() if l.startswith("{")][0]
+    )
+    assert rec["ent_floor"] == 10.0
+    assert rec["ent_mult_final"] == 7.5  # hit the cap
+    # log lines surface the controller state
+    assert "ent_mult" in r.stderr
