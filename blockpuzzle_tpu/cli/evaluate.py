@@ -74,6 +74,12 @@ def _fill_from_run_meta(args, mgr) -> None:
     if recorded:
         detected.append(f"env_overrides={recorded}")
     args.env = list(recorded) + args.env
+    # peak selection (sweep_ppo --eval-kept): on post-peak-regression
+    # curves the LATEST checkpoint is systematically worse than the
+    # recorded argmax, so default --step to best_step when present
+    if args.step is None and "best_step" in meta:
+        args.step = int(meta["best_step"])
+        detected.append(f"step={args.step} (best_step)")
     if detected:
         print(f"[run_meta] {' '.join(detected)}")
 

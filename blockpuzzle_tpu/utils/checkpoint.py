@@ -202,5 +202,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        """All retained checkpoint steps, ascending (peak-hunting evals)."""
+        return sorted(self._mgr.all_steps())
+
     def close(self) -> None:
         self._mgr.close()

@@ -97,6 +97,40 @@ def main() -> int:
                         "exp(rate * (floor - entropy)) per log boundary")
     p.add_argument("--ent-max-mult", type=float, default=20.0,
                    help="cap on the controller's coefficient multiplier")
+    # Round 4: the controller used to update only at log boundaries, which
+    # silently made --log-every a controller hyperparameter (a run logging
+    # 5x less often got a 5x slower controller).  --ent-every makes the
+    # cadence explicit; 0 keeps the legacy log-boundary coupling.
+    p.add_argument("--ent-every", type=int, default=0,
+                   help="entropy-controller cadence in updates (0 = at log "
+                        "boundaries, the pre-round-4 behavior); each firing "
+                        "costs one device_get sync of the update metrics")
+    # Round 4: piecewise LR schedule (VERDICT r3 item 1).  Every long run so
+    # far used constant 3e-4; the 1M probe's post-350k collapse is the
+    # textbook case for late LR decay.  --lr0/--lr1 override the chosen
+    # config's endpoints; --lr-decay-start holds lr0 constant until that
+    # fraction of the run, then decays to lr1 by the end (linear or cosine).
+    p.add_argument("--lr0", type=float, default=None,
+                   help="override the config's starting learning rate")
+    p.add_argument("--lr1", type=float, default=None,
+                   help="override the config's final learning rate")
+    p.add_argument("--lr-decay-start", type=float, default=0.0,
+                   help="fraction of the run before LR decay begins "
+                        "(0.0 = decay over the whole run, the old behavior)")
+    p.add_argument("--lr-shape", choices=["linear", "cosine"],
+                   default="linear", help="decay shape past --lr-decay-start")
+    # Round 4: full-precision metrics stream (the printed log rounds to
+    # 0.1, useless for the run-to-run determinism probe — VERDICT r3 item 3)
+    p.add_argument("--metrics-jsonl", default=None,
+                   help="append one full-precision JSON metrics row per log "
+                        "boundary to this path")
+    p.add_argument("--eval-kept", action="store_true",
+                   help="after training, greedy-eval EVERY kept checkpoint "
+                        "and record the argmax step in run_meta.json (on "
+                        "post-peak-regression curves the final state is "
+                        "systematically the wrong artifact — the round-3 "
+                        "entfloor run saved 644.3 while its kept 350k "
+                        "checkpoint measured 671.2)")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     args = p.parse_args()
 
@@ -153,6 +187,20 @@ def main() -> int:
     def interp(a, b, frac):
         return a + (b - a) * frac
 
+    import math
+
+    def lr_at(c, frac):
+        """Piecewise LR: lr0 until --lr-decay-start, then decay to lr1."""
+        lr0 = args.lr0 if args.lr0 is not None else c["lr0"]
+        lr1 = args.lr1 if args.lr1 is not None else c["lr1"]
+        s = args.lr_decay_start
+        if frac <= s:
+            return lr0
+        t = (frac - s) / max(1.0 - s, 1e-9)
+        if args.lr_shape == "cosine":
+            return lr1 + (lr0 - lr1) * 0.5 * (1.0 + math.cos(math.pi * t))
+        return lr0 + (lr1 - lr0) * t
+
     # validate the flag combination BEFORE constructing the manager (a
     # usage error must not leave an empty checkpoint dir behind)
     if args.checkpoint_every and not args.checkpoint_dir:
@@ -160,17 +208,24 @@ def main() -> int:
     if args.checkpoint_every and len(args.configs) > 1:
         # periodic step numbers would collide across configs
         p.error("--checkpoint-every supports a single --configs entry")
+    if args.eval_kept and not (args.checkpoint_dir and args.checkpoint_every):
+        p.error("--eval-kept requires --checkpoint-dir and --checkpoint-every")
     mgr = None
+    run_meta = None
     if args.checkpoint_dir:
         from blockpuzzle_tpu.utils import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=args.keep)
         # self-describing checkpoint dir (cli.evaluate auto-fills from it)
-        mgr.save_run_meta({
+        run_meta = {
             "algo": "ppo", "preset": args.preset, "env_overrides": [],
             "torso": args.torso, "mlp_width": args.mlp_width,
             "queue_mode": args.queue_mode,
-        })
+        }
+        mgr.save_run_meta(run_meta)
+
+    ent_cadence = args.ent_every if args.ent_every > 0 else args.log_every
+    metrics_f = open(args.metrics_jsonl, "a") if args.metrics_jsonl else None
 
     results = []
     best = None  # (greedy_return, name, host TrainState copy)
@@ -183,7 +238,7 @@ def main() -> int:
         for u in range(args.updates):
             frac = u / max(args.updates - 1, 1)
             hypers = {
-                "lr": interp(c["lr0"], c["lr1"], frac),
+                "lr": lr_at(c, frac),
                 "entropy_coef": ent_mult * interp(c["ent0"], c["ent1"], frac),
                 "clip_eps": c["clip"],
                 "gamma": c["gamma"],
@@ -191,26 +246,42 @@ def main() -> int:
                 "value_coef": c["vc"],
             }
             state, metrics = update(state, hypers)
-            if (u + 1) % args.log_every == 0 or u == 0:
+            log_now = (u + 1) % args.log_every == 0 or u == 0
+            ent_now = args.ent_floor > 0.0 and (
+                (u + 1) % ent_cadence == 0 or u == 0
+            )
+            if log_now or ent_now:
                 last_ret = float(metrics["episode_return"])
                 entropy = float(metrics["entropy"])
-                if args.ent_floor > 0.0:
-                    import math
-
+                if ent_now:
                     ent_mult = min(
                         max(1.0, ent_mult
                             * math.exp(args.ent_adapt
                                        * (args.ent_floor - entropy))),
                         args.ent_max_mult,
                     )
-                print(
-                    f"[{name}] update {u + 1}/{args.updates}: "
-                    f"train return {last_ret:.1f} "
-                    f"entropy {entropy:.3f}"
-                    + (f" ent_mult {ent_mult:.2f}"
-                       if args.ent_floor > 0.0 else ""),
-                    file=sys.stderr,
-                )
+                if log_now and metrics_f is not None:
+                    # full precision: json floats round-trip exactly, so
+                    # two runs' streams can be compared bit-for-bit
+                    row = {"config": name, "update": u + 1,
+                           "ent_mult": ent_mult, "lr": hypers["lr"],
+                           "entropy_coef": hypers["entropy_coef"]}
+                    row.update(
+                        (k, float(v)) for k, v in sorted(metrics.items())
+                    )
+                    metrics_f.write(json.dumps(row) + "\n")
+                    metrics_f.flush()
+                if log_now:
+                    print(
+                        f"[{name}] update {u + 1}/{args.updates}: "
+                        f"train return {last_ret:.1f} "
+                        f"entropy {entropy:.3f}"
+                        + (f" ent_mult {ent_mult:.2f}"
+                           if args.ent_floor > 0.0 else "")
+                        + (f" lr {hypers['lr']:.2e}"
+                           if args.lr_decay_start > 0.0 else ""),
+                        file=sys.stderr,
+                    )
             if (args.checkpoint_every
                     and (u + 1) % args.checkpoint_every == 0
                     and u + 1 < args.updates):  # final save happens below
@@ -232,7 +303,14 @@ def main() -> int:
             "queue_mode": args.queue_mode,
             "shuffle": args.shuffle,
             **c,
+            # effective LR schedule (CLI overrides + shape) — the config's
+            # lr0/lr1 above are superseded by these when set
+            "lr0_eff": args.lr0 if args.lr0 is not None else c["lr0"],
+            "lr1_eff": args.lr1 if args.lr1 is not None else c["lr1"],
+            "lr_decay_start": args.lr_decay_start,
+            "lr_shape": args.lr_shape,
             "ent_floor": args.ent_floor,
+            "ent_every": ent_cadence if args.ent_floor > 0.0 else 0,
             "ent_mult_final": round(ent_mult, 3),
             "updates": args.updates,
             "greedy_return": round(ret, 1),
@@ -251,9 +329,37 @@ def main() -> int:
     print(json.dumps({"summary": results, "best": results[0]["config"]}))
     if mgr is not None and best is not None:
         mgr.save(args.updates, best[2], force=True)
-        mgr.close()
         print(f"[sweep] saved best ({best[1]}) to {args.checkpoint_dir}",
               file=sys.stderr)
+        if args.eval_kept:
+            # Peak selection (VERDICT r3 weak #1): greedy-eval every kept
+            # checkpoint under ONE eval seed and record the argmax step.
+            # On post-peak-regression curves (the measured shape of every
+            # run past ~350k updates) the final state is systematically
+            # worse than the best kept one; cli.evaluate defaults to the
+            # recorded best_step.
+            curve = []
+            for s in mgr.all_steps():
+                params = mgr.restore_params(best[2].params, step=s)
+                ret, n_eps = greedy_return(params, seed=20_000)
+                row = {"checkpoint_step": s, "greedy_return": round(ret, 1),
+                       "eval_episodes": n_eps}
+                curve.append(row)
+                print(json.dumps(row))
+                sys.stdout.flush()
+            top = max(curve, key=lambda r: r["greedy_return"])
+            run_meta["best_step"] = top["checkpoint_step"]
+            run_meta["checkpoint_curve"] = curve
+            mgr.save_run_meta(run_meta)
+            print(json.dumps({"kept_eval_best_step": top["checkpoint_step"],
+                              "kept_eval_best_return": top["greedy_return"]}))
+            print(f"[sweep] kept-checkpoint peak: step "
+                  f"{top['checkpoint_step']} greedy "
+                  f"{top['greedy_return']} (recorded in run_meta.json)",
+                  file=sys.stderr)
+        mgr.close()
+    if metrics_f is not None:
+        metrics_f.close()
     return 0
 
 

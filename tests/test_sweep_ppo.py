@@ -101,6 +101,90 @@ def test_sweep_checkpoint_every_rejects_multi_config(tmp_path):
 
 
 @pytest.mark.slow
+def test_sweep_eval_kept_records_peak_step(tmp_path):
+    """--eval-kept greedy-evals every kept checkpoint and records the argmax
+    in run_meta.json (VERDICT r3 weak #1: on post-peak-regression curves the
+    final state is systematically the wrong artifact).  Also exercises the
+    round-4 LR schedule flags and the explicit --ent-every cadence."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    ckpt = tmp_path / "ckpt"
+    jsonl = tmp_path / "metrics.jsonl"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "sweep_ppo.py"),
+            "--configs", "base",
+            "--updates", "6",
+            "--num-envs", "16",
+            "--rollout-len", "8",
+            "--eval-envs", "8",
+            "--eval-steps", "32",
+            "--platform", "cpu",
+            "--torso", "mlp",
+            "--mlp-width", "32",
+            "--log-every", "2",
+            "--ent-floor", "10.0",
+            "--ent-every", "3",
+            "--lr0", "3e-4",
+            "--lr1", "3e-5",
+            "--lr-decay-start", "0.5",
+            "--lr-shape", "cosine",
+            "--metrics-jsonl", str(jsonl),
+            "--checkpoint-dir", str(ckpt),
+            "--checkpoint-every", "2",
+            "--eval-kept",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()
+             if l.startswith("{")]
+    rec = lines[0]
+    assert rec["lr0_eff"] == 3e-4 and rec["lr1_eff"] == 3e-5
+    assert rec["lr_decay_start"] == 0.5 and rec["lr_shape"] == "cosine"
+    assert rec["ent_every"] == 3
+    # per-checkpoint eval rows for every kept step + the summary row
+    curve_rows = [l for l in lines if "checkpoint_step" in l]
+    assert [l["checkpoint_step"] for l in curve_rows] == [2, 4, 6]
+    kept = [l for l in lines if "kept_eval_best_step" in l]
+    assert len(kept) == 1
+    meta = json.loads((ckpt / "run_meta.json").read_text())
+    assert meta["best_step"] == kept[0]["kept_eval_best_step"]
+    assert len(meta["checkpoint_curve"]) == 3
+    # full-precision metrics stream: one row per log boundary, floats
+    # round-trip exactly (determinism-probe contract)
+    rows = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    assert [row["update"] for row in rows] == [1, 2, 4, 6]
+    assert all("entropy" in row and "loss" in row for row in rows)
+    # cosine decay: lr constant through the first half, lower at the end
+    assert rows[1]["lr"] == 3e-4
+    assert rows[-1]["lr"] == pytest.approx(3e-5)
+
+
+def test_sweep_eval_kept_requires_periodic_checkpoints(tmp_path):
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "sweep_ppo.py"),
+            "--configs", "base",
+            "--updates", "2",
+            "--platform", "cpu",
+            "--eval-kept",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(repo),
+    )
+    assert r.returncode != 0
+    assert "--eval-kept requires" in r.stderr
+
+
+@pytest.mark.slow
 def test_sweep_entropy_floor_controller_raises_coef(tmp_path):
     """--ent-floor: the host-side controller multiplies entropy_coef when
     measured entropy sits below the floor (round-3 response to the 1M-probe
