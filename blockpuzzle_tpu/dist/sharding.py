@@ -33,8 +33,11 @@ PARAM_RULES = [
     # column-parallel mlp-torso input matmul: (cells, width) -> shard width
     (r"Torso_0/mlp_0/kernel", P(None, "tp")),
     # row-parallel output heads: (hidden, out) -> shard hidden
-    # (MXUDense = bf16-operand/f32-accumulate dense, learn/networks.py)
-    (r"MXUDense_0/kernel", P("tp", None)),
+    # (MXUDense = bf16-operand/f32-accumulate dense, learn/networks.py).
+    # \d+ because flax auto-numbers instances: the dueling QNetwork builds
+    # MXUDense_0 (value) AND MXUDense_1 (advantage), and anchoring on _0
+    # silently replicated the advantage kernel at tp>1 (ADVICE r3).
+    (r"MXUDense_\d+/kernel", P("tp", None)),
     (r".*", P()),
 ]
 

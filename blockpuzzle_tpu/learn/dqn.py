@@ -82,16 +82,20 @@ class DQNConfig:
     # mean is over legal actions only
     dueling: bool = False
     # Prioritized experience replay (Schaul et al. 2016), proportional
-    # variant.  Sampling is Gumbel-top-k over alpha-scaled log-priorities —
-    # exact Plackett-Luce sampling WITHOUT replacement (one lax.top_k over
-    # the buffer per grad step; no sum-tree, which would be host-hostile on
-    # TPU).  TD errors are importance-weighted by (1/(n_filled*p_i))^beta
-    # normalized by the batch max; new rows enter at the running max
-    # priority; sampled rows' priorities update to |td| + per_eps.
+    # variant.  Default sampler draws WITH replacement by inverse-CDF over
+    # the alpha-scaled priorities (cumsum + one device sort — no sum-tree,
+    # which would be host-hostile on TPU); p_i is then the exact per-draw
+    # probability, so the (1/(n_filled*p_i))^beta importance weights are
+    # unbiased.  per_replacement=False switches to Gumbel-top-k (exact
+    # Plackett-Luce WITHOUT replacement — see _per_sample for the IS-weight
+    # approximation that entails).  New rows enter at the running max
+    # priority; sampled rows' priorities update to raw |td| (per_eps is
+    # added exactly once, at sampling time).
     per: bool = False
     per_alpha: float = 0.6
     per_beta: float = 0.4     # runtime-overridable via hypers["beta"]
     per_eps: float = 1e-3
+    per_replacement: bool = True
 
 
 @struct.dataclass
@@ -396,23 +400,49 @@ class DQN:
     ) -> Tuple[jax.Array, jax.Array]:
         """(idx (batch,), is_weights (batch,)) — proportional PER draw.
 
-        Gumbel-top-k over alpha-scaled log-priorities = exact Plackett-Luce
-        sampling without replacement (one ``lax.top_k`` over the buffer —
-        no sum-tree; the tree's sequential structure is host-friendly but
-        TPU-hostile).  Unfilled slots are masked to -inf.  Importance
-        weights follow Schaul et al.: w = (1 / (n * p_i))^beta, normalized
-        by the batch max.  The idx gather is learner-path (batch rows), not
-        env hot-path, so the CLAUDE.md no-gather rule does not apply.
+        Two samplers, selected by ``cfg.per_replacement``:
+
+        * True (default): WITH replacement via inverse-CDF over the
+          alpha-scaled priorities (cumsum + ``searchsorted(method="sort")``
+          — one device sort per grad step, no sum-tree; the tree's
+          sequential structure is host-friendly but TPU-hostile).  Each
+          draw is independent with probability exactly p_i, so Schaul et
+          al.'s w = (1 / (n * p_i))^beta IS-correction is unbiased.
+        * False: WITHOUT replacement via Gumbel-top-k over alpha-scaled
+          log-priorities (exact Plackett-Luce top-k; one ``lax.top_k``).
+          CAVEAT: the IS weights below still plug the single-draw p_i into
+          Schaul's formula, but the *inclusion* probability of a
+          without-replacement top-k draw is not p_i — it saturates toward
+          1 for high-priority rows as batch_size/filled grows, so the beta
+          correction is approximate, worst just after warm-up when filled
+          is close to batch_size.  Kept for experiments wanting duplicate-
+          free batches; raise min_buffer well above batch_size with it.
+
+        Unfilled slots are never drawn (zero mass / -inf logits).  Weights
+        are normalized by the batch max (standard).  The idx gather is
+        learner-path (batch rows), not env hot-path, so the CLAUDE.md
+        no-gather rule does not apply.
         """
         cfg = self.cfg
         b = cfg.buffer_size
         valid = jnp.arange(b) < replay.filled
-        logp = cfg.per_alpha * jnp.log(replay.prio + cfg.per_eps)
-        logits = jnp.where(valid, logp, -jnp.inf)
-        g = jax.random.gumbel(key, (b,))
-        _, idx = jax.lax.top_k(logits + g, cfg.batch_size)
-        palpha = jnp.where(valid, jnp.exp(logp), 0.0)
-        p = palpha[idx] / jnp.maximum(palpha.sum(), 1e-30)
+        # priorities are stored as RAW |td|; per_eps enters exactly here
+        palpha = jnp.where(
+            valid, jnp.power(replay.prio + cfg.per_eps, cfg.per_alpha), 0.0
+        )
+        total = jnp.maximum(palpha.sum(), 1e-30)
+        if cfg.per_replacement:
+            # inverse CDF: u < total and the cdf is flat past `filled`
+            # (palpha=0 there), so unfilled slots are unreachable
+            cdf = jnp.cumsum(palpha)
+            u = jax.random.uniform(key, (cfg.batch_size,)) * total
+            idx = jnp.searchsorted(cdf, u, side="right", method="sort")
+            idx = jnp.minimum(idx, b - 1).astype(jnp.int32)
+        else:
+            logits = jnp.where(valid, jnp.log(palpha), -jnp.inf)
+            g = jax.random.gumbel(key, (b,))
+            _, idx = jax.lax.top_k(logits + g, cfg.batch_size)
+        p = palpha[idx] / total
         n_filled = jnp.maximum(replay.filled.astype(jnp.float32), 1.0)
         w = jnp.power(1.0 / (n_filled * jnp.maximum(p, 1e-30)), beta)
         return idx, w / jnp.maximum(w.max(), 1e-30)
@@ -571,8 +601,10 @@ class DQN:
                 params, target_params, sample, gamma, weights
             )
             if cfg.per:
-                # sampled rows take their fresh |td| as priority
-                new_prio = aux.pop("td_abs_per") + cfg.per_eps
+                # sampled rows take their fresh RAW |td| as priority
+                # (per_eps is added once, in _per_sample — adding it here
+                # too flattened the priority distribution)
+                new_prio = aux.pop("td_abs_per")
                 rep = rep.replace(
                     prio=rep.prio.at[idx].set(new_prio),
                     max_prio=jnp.maximum(rep.max_prio, new_prio.max()),

@@ -210,6 +210,37 @@ def test_param_rules_shard_mlp_torso_kernel():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_param_rules_shard_dueling_heads():
+    """Flax auto-numbers MXUDense instances, so the dueling QNetwork's two
+    head kernels are MXUDense_0 (value) AND MXUDense_1 (advantage); the old
+    rule anchored on _0 and silently replicated the advantage kernel at
+    tp>1 (ADVICE r3).  Both must carry the row-parallel tp rule, and the
+    dueling iteration must execute sharded on a tp=2 mesh."""
+    from blockpuzzle_tpu.learn import DQN, DQNConfig
+
+    env = make_env(default_config())
+    dqn = DQN(env, DQNConfig(num_envs=16, buffer_size=256, batch_size=8,
+                             collect_steps=2, min_buffer=8, hidden=32,
+                             channels=(8,), dueling=True))
+    state = dqn.init(jax.random.key(0))
+    spec = dist.train_state_spec(state)
+    flat = {
+        "/".join(str(getattr(k, "name", getattr(k, "key", k))) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(
+            spec, is_leaf=lambda x: isinstance(x, P)
+        )[0]
+    }
+    for name in ("MXUDense_0", "MXUDense_1"):
+        ks = [k for k in flat if f"/{name}/kernel" in k and "params/" in k]
+        assert ks and all(flat[k] == P("tp", None) for k in ks), (name, flat)
+    mesh = dist.make_mesh(tp=2)
+    shardings = dist.to_named(mesh, spec)
+    state = jax.device_put(state, shardings)
+    state2, metrics = jax.jit(dqn.iteration, donate_argnums=(0,))(state)
+    assert int(metrics["buffer_filled"]) == 32
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_sharded_nstep_dqn_iteration_runs_on_mesh():
     """n-step pending window shards on its ENV axis (axis 1), not axis 0."""
     from blockpuzzle_tpu.learn import DQN, DQNConfig
