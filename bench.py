@@ -289,7 +289,7 @@ def main() -> int:
 
     for name, value, allowed in (
         ("BP_BENCH_PRESET", PRESET, sorted(PRESETS)),
-        ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift"]),
+        ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift", "bitboard"]),
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
         ("BP_BENCH_BACKEND", BACKEND, ["jnp", "hybrid", "pallas"]),
     ):

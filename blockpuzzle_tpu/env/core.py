@@ -78,13 +78,20 @@ class VecBlockPuzzle:
             (N, P·HW) intermediate costs ~2·P·HW bytes/env of HBM traffic.
             Kept selectable for benchmarking and as the mask_dtype=int8
             MXU-rate demonstration path.
+            "bitboard" (round 4): board rows packed into u32 words with
+            32//W row-fields per word; legality is ceil(max_h/(32//W))
+            AND+OR word taps per anchor (2 for classic19 at W=10) instead
+            of 13 bf16 multiply-add taps — the packed-state lever the
+            round-3 roofline named.  Bit-equal (tested); width <= 32 only.
         """
         if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
         if mask_dtype not in ("bf16", "int8"):
             raise ValueError(f"unknown mask_dtype {mask_dtype!r}")
-        if mask_impl not in ("matmul", "shift"):
+        if mask_impl not in ("matmul", "shift", "bitboard"):
             raise ValueError(f"unknown mask_impl {mask_impl!r}")
+        if mask_impl == "bitboard" and cfg.width > 32:
+            raise ValueError("mask_impl='bitboard' needs width <= 32")
         self.cfg = cfg
         self.backend = backend
         self.rng_impl = rng_impl
@@ -180,6 +187,41 @@ class VecBlockPuzzle:
             for dc in range(t.max_w)
             if t.pieces[:, dr, dc].any()
         ]
+        # bitboard mask impl (round 4, the roofline's named VPU lever):
+        # board rows pack into u32 words, 32//W row-FIELDS per word, so the
+        # whole piece footprint tests in ceil(max_h / fields) AND+OR taps
+        # (2 for classic19 at W=10) instead of `len(kernel_taps)` (13)
+        # bf16 multiply-add taps.  Tables are host numpy (jit constants).
+        if cfg.width <= 32:
+            w = cfg.width
+            fpw = max(1, 32 // w)                 # row fields per u32 word
+            nwords = -(-t.max_h // fpw)           # words per piece footprint
+            self._bb_fpw, self._bb_nwords = fpw, nwords
+            # per-piece packed footprint words: word k holds piece rows
+            # k*fpw .. k*fpw+fpw-1, each as a W-bit field
+            prow = (
+                t.pieces.astype(np.uint64)
+                * (1 << np.arange(t.max_w, dtype=np.uint64))
+            ).sum(axis=2)                         # (P, max_h) row bitmasks
+            packed = np.zeros((t.num_pieces, nwords), dtype=np.uint64)
+            for i in range(t.max_h):
+                packed[:, i // fpw] |= prow[:, i] << np.uint64((i % fpw) * w)
+            self._bb_prow = packed.astype(np.uint32)          # (P, K)
+            # per-anchor-column spill mask: a piece bit shifted past its
+            # field's top lands in the LOW c bits of the next field (orig
+            # bit b, shift c, b+c>W-1 -> position (j+1)W + (b+c-W), and
+            # b+c-W <= c-1) — keeping only bits >= c of every field removes
+            # exactly the spill and nothing legit
+            field = np.uint64((1 << w) - 1)
+            cmask = np.zeros(w, dtype=np.uint64)
+            for c in range(w):
+                keep = field & ~np.uint64((1 << c) - 1)
+                for j in range(fpw):
+                    cmask[c] |= keep << np.uint64(j * w)
+            self._bb_cmask = cmask.astype(np.uint32)          # (W,)
+            self._bb_pow2 = (1 << np.arange(w, dtype=np.uint32))  # (W,)
+            self._bb_c_iota = np.arange(w, dtype=np.uint32)
+            self._bb_piece_w = np.asarray(t.piece_w, dtype=np.int32)  # (P,)
 
         if backend in ("pallas", "hybrid"):
             # deferred import: kernels pull in pallas machinery
@@ -275,6 +317,8 @@ class VecBlockPuzzle:
             # ragged batch: jnp fallback below
         if self.mask_impl == "shift":
             return self._action_mask_shift(board, queue)
+        if self.mask_impl == "bitboard":
+            return self._action_mask_bitboard(board, queue)
         # compare BEFORE selection so the == 0 fuses into the matmul
         # epilogue and the all-pieces intermediate is bool (half the HBM
         # traffic of bf16 counts)
@@ -339,6 +383,79 @@ class VecBlockPuzzle:
                 (acc == 0).reshape(n, cfg.num_cells),
                 (pid_s < self.num_pieces)[:, None],
             )
+            masks.append(m)
+        return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
+
+    def _action_mask_bitboard(
+        self, board: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        """Packed-u32 hand mask — the roofline's named VPU lever (round 4).
+
+        Board rows pack into u32 words with ``fpw = 32 // W`` row-fields per
+        word; the slot's piece packs the same way (host-constant table, one
+        static P-way select — the 30-bit words exceed f32's 24-bit mantissa,
+        so no one-hot matmul).  Anchor (r, c) is legal iff for every word k
+
+            words_k(r)  &  ((prow_k << c) & cmask[c])  ==  0
+
+        where words_k(r) ORs the board rows r+k·fpw.. as fields (rows past
+        the bottom read as ALL-ONES fields, so row-overflow anchors fail
+        automatically), and cmask[c] strips the cross-field spill of the
+        left shift (see __init__).  Column overflow cannot be caught by the
+        AND (its bits are exactly the stripped spill), so it is an explicit
+        ``c + piece_w <= W`` test.  Bit-equal to the shift/matmul impls
+        (tested); K = ceil(max_h/fpw) = 2 AND+OR taps for classic19 at
+        W=10 vs the shift impl's 13 multiply-add taps.
+        """
+        cfg = self.cfg
+        t = self.tables
+        n = board.shape[0]
+        h, w = cfg.height, cfg.width
+        fpw, nwords = self._bb_fpw, self._bb_nwords
+        b3 = board.reshape(n, h, w)
+        words = jnp.sum(
+            b3.astype(jnp.uint32) * self._bb_pow2[None, None, :], axis=2
+        )                                                     # (N, H)
+        pad = jnp.full(
+            (n, t.max_h - 1), np.uint32((1 << w) - 1), dtype=jnp.uint32
+        )
+        padded = jnp.concatenate([words, pad], axis=1)        # (N, H+max_h-1)
+        # board words per anchor row, shared across hand slots
+        wks = []
+        for k in range(nwords):
+            wk = jnp.zeros((n, h), jnp.uint32)
+            for j in range(fpw):
+                i = k * fpw + j
+                if i >= t.max_h:
+                    break
+                wk = wk | (padded[:, i : i + h] << np.uint32(j * w))
+            wks.append(wk)
+        masks = []
+        for s in range(cfg.queue_size):
+            pid_s = queue[:, s]
+            onehot_b = pid_s[:, None] == self._piece_iota[None, :]  # (N, P)
+            prow = jnp.sum(
+                jnp.where(
+                    onehot_b[:, :, None], self._bb_prow[None], jnp.uint32(0)
+                ),
+                axis=1,
+            )                                                 # (N, K)
+            pw = jnp.sum(
+                jnp.where(onehot_b, self._bb_piece_w[None], 0), axis=1
+            )                                                 # (N,)
+            acc = jnp.zeros((n, h, w), jnp.uint32)
+            for k in range(nwords):
+                shifted = (
+                    prow[:, k : k + 1] << self._bb_c_iota[None, :]
+                ) & self._bb_cmask[None, :]                   # (N, W)
+                acc = acc | (wks[k][:, :, None] & shifted[:, None, :])
+            ok_col = (
+                self._bb_c_iota.astype(jnp.int32)[None, :] + pw[:, None] <= w
+            )                                                 # (N, W)
+            m = jnp.logical_and(acc == 0, ok_col[:, None, :]).reshape(
+                n, cfg.num_cells
+            )
+            m = jnp.logical_and(m, (pid_s < self.num_pieces)[:, None])
             masks.append(m)
         return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
 

@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import pytest
 
 from blockpuzzle_tpu import rules
-from blockpuzzle_tpu.config import default_config, tenten_config, woodoku_config
+from blockpuzzle_tpu.config import (
+    big_config,
+    default_config,
+    tenten_config,
+    woodoku_config,
+)
 from blockpuzzle_tpu.env import make_env
 from blockpuzzle_tpu.oracle import BlockPuzzleOracleEnv
 
@@ -411,6 +416,72 @@ def test_shift_mask_full_step_rollout_bit_equal():
 
     for a, b in zip(rollout(env_m), rollout(env_s)):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "cfg_fn", [default_config, tenten_config, woodoku_config, big_config]
+)
+def test_bitboard_mask_impl_bit_equal(cfg_fn):
+    """mask_impl="bitboard" (packed u32 row-field words, K AND+OR taps —
+    the round-4 roofline lever) must match the shift path bit-for-bit
+    across a stepped rollout, including empty-slot sentinels, row/column
+    overflow anchors, and the cross-field spill cases cmask strips."""
+    cfg = cfg_fn()
+    env_s = make_env(cfg)  # shift default
+    env_b = make_env(cfg, mask_impl="bitboard")
+    state, ts = env_s.init_jit(jax.random.key(13), 64)
+    mask_s = ts.action_mask
+    bb_mask = jax.jit(env_b.action_mask)
+    step_s = jax.jit(env_s.step)
+    for i in range(25):
+        np.testing.assert_array_equal(
+            np.asarray(mask_s),
+            np.asarray(bb_mask(state.board, state.queue)),
+            err_msg=f"step {i}",
+        )
+        bits = jax.random.bits(
+            jax.random.fold_in(jax.random.key(4), i), mask_s.shape, jnp.uint32
+        )
+        a = jnp.argmax(jnp.where(mask_s, bits, jnp.uint32(0)), axis=-1)
+        state, ts = step_s(state, a)
+        mask_s = ts.action_mask
+
+
+def test_bitboard_full_step_rollout_bit_equal():
+    """A full auto-reset rollout under the bitboard engine equals the shift
+    engine (the mask feeds termination and auto-reset)."""
+    cfg = tenten_config()
+    env_s = make_env(cfg)
+    env_b = make_env(cfg, mask_impl="bitboard")
+
+    def rollout(env):
+        state, ts = env.init_jit(jax.random.key(5), 32)
+
+        def body(carry, i):
+            state, mask = carry
+            bits = jax.random.bits(
+                jax.random.fold_in(jax.random.key(6), i), mask.shape,
+                jnp.uint32,
+            )
+            a = jnp.argmax(jnp.where(mask, bits, jnp.uint32(0)), axis=-1)
+            state, ts = env.step(state, a)
+            return (state, ts.action_mask), (ts.reward, ts.board, ts.queue)
+
+        (_, _), out = jax.lax.scan(
+            jax.jit(body), (state, ts.action_mask), jnp.arange(80)
+        )
+        return jax.tree.map(np.asarray, out)
+
+    for a, b in zip(rollout(env_s), rollout(env_b)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bitboard_rejects_wide_boards():
+    import dataclasses
+
+    cfg = dataclasses.replace(default_config(), width=33)
+    with pytest.raises(ValueError, match="width <= 32"):
+        make_env(cfg, mask_impl="bitboard")
 
 
 def test_make_env_defaults_to_shift_mask():
