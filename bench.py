@@ -50,10 +50,11 @@ NUM_ENVS_RAW = os.environ.get("BP_BENCH_NUM_ENVS", "49152")
 MASK_DTYPE = os.environ.get("BP_BENCH_MASK_DTYPE", "int8")
 # game preset ("default" headline; "tenten"/"woodoku"/"big" variant rows)
 PRESET = os.environ.get("BP_BENCH_PRESET", "default")
-# mask computation: "shift" default (ones-padded cross-correlation with the
-# selected piece kernel — no (N, P*HW) intermediate; measured 145.2M vs
-# 123.1M steps/s for "matmul", docs/RESULTS.md); "matmul" for comparison
-MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "shift")
+# mask computation: "bitboard" default (packed u32 row-field words, 2
+# AND+OR taps — measured 209.2M vs 151.4M steps/s for "shift" at the
+# headline protocol, round 4, docs/RESULTS.md); "shift"/"matmul" kept for
+# comparison
+MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "bitboard")
 # engine backend: "jnp" (XLA-fused, the production default), "hybrid"
 # (jnp step + pallas mask kernel), "pallas" (all hand kernels) — lets the
 # kernel retirement verdict be re-checked under the EXACT headline

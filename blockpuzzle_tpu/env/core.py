@@ -54,7 +54,7 @@ class VecBlockPuzzle:
         backend: str = "jnp",
         rng_impl: str = "rbg",
         mask_dtype: str = "bf16",
-        mask_impl: str = "shift",
+        mask_impl: Optional[str] = None,
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -66,8 +66,10 @@ class VecBlockPuzzle:
             dominant step cost): "bf16" (f32/bf16 MXU rate) or "int8"
             (s8×s8→s32 — 2× the bf16 MXU rate on v5e; exact, counts ≤ 9).
             Both are bit-identical in outcome; selectable for benchmarking.
-          mask_impl: how the per-hand action mask is computed.
-            "shift" (default): cross-correlate the board with the hand's
+          mask_impl: how the per-hand action mask is computed.  Default
+            (None) resolves to "bitboard" for boards whose rows fit a u32
+            word (width <= 32, every shipped preset), else "shift".
+            "shift": cross-correlate the board with the hand's
             ONE-HOT-SELECTED piece kernel — a static loop over the piece
             bbox taps (only offsets some piece occupies; 13 of 25 for
             classic19) of shifted multiply-adds on a ones-padded board
@@ -88,6 +90,11 @@ class VecBlockPuzzle:
             raise ValueError(f"unknown backend {backend!r}")
         if mask_dtype not in ("bf16", "int8"):
             raise ValueError(f"unknown mask_dtype {mask_dtype!r}")
+        if mask_impl is None:
+            # bitboard won the round-4 hardware head-to-head (209.2M vs
+            # shift's 151.4M steps/s at the headline protocol) but needs
+            # board rows to fit a u32 word; wider boards keep shift
+            mask_impl = "bitboard" if cfg.width <= 32 else "shift"
         if mask_impl not in ("matmul", "shift", "bitboard"):
             raise ValueError(f"unknown mask_impl {mask_impl!r}")
         if mask_impl == "bitboard" and cfg.width > 32:
@@ -945,7 +952,7 @@ def make_env(
     backend: str = "jnp",
     rng_impl: str = "rbg",
     mask_dtype: str = "bf16",
-    mask_impl: str = "shift",
+    mask_impl: Optional[str] = None,
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:

@@ -34,8 +34,9 @@ def main() -> int:
     p.add_argument("--unroll", type=int, default=4)
     p.add_argument("--mask-dtype", choices=["bf16", "int8"], default="int8",
                    help="legality-matmul operand dtype (matmul impl only)")
-    p.add_argument("--mask-impl", choices=["shift", "matmul"],
-                   default="shift", help="match bench.py's default")
+    p.add_argument("--mask-impl",
+                   choices=["bitboard", "shift", "matmul"],
+                   default="bitboard", help="match bench.py's default")
     p.add_argument("--preset", default="default")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     p.add_argument("--top", type=int, default=15)

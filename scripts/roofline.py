@@ -43,7 +43,7 @@ def main() -> int:
     p.add_argument("--num-envs", type=int, default=49152)
     p.add_argument("--chunk", type=int, default=400)
     p.add_argument("--preset", default="default")
-    p.add_argument("--mask-impl", default="shift")
+    p.add_argument("--mask-impl", default="bitboard")
     p.add_argument("--mask-dtype", default="int8")
     p.add_argument("--no-time", action="store_true",
                    help="cost analysis only (no timed windows)")

@@ -484,7 +484,13 @@ def test_bitboard_rejects_wide_boards():
         make_env(cfg, mask_impl="bitboard")
 
 
-def test_make_env_defaults_to_shift_mask():
-    """shift won the hardware head-to-head (docs/RESULTS.md); it is the
-    production default for every consumer, not just bench.py."""
-    assert make_env(default_config()).mask_impl == "shift"
+def test_make_env_defaults_to_bitboard_mask():
+    """bitboard won the round-4 hardware head-to-head (209.2M vs shift's
+    151.4M steps/s — docs/RESULTS.md); it is the production default for
+    every consumer whose board rows fit a u32 word, with shift as the
+    automatic fallback for wider boards."""
+    assert make_env(default_config()).mask_impl == "bitboard"
+    import dataclasses
+
+    wide = dataclasses.replace(default_config(), width=33)
+    assert make_env(wide).mask_impl == "shift"

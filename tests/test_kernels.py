@@ -135,11 +135,12 @@ def test_ragged_batch_falls_back_to_reference(rng):
 def test_mask_kernel_matches_action_mask(rng):
     """Fused mask kernel == engine action_mask, incl. empty sentinel slots.
 
-    ``make_env`` defaults to ``mask_impl="shift"``, so the reference side
-    here IS the production shift-mask path: this test closes the
-    shift <-> MaskKernel leg of the parity triangle directly (the
+    ``make_env`` defaults to ``mask_impl="bitboard"`` (round 4), so the
+    reference side here IS the production bitboard path: this test closes
+    the bitboard <-> MaskKernel leg of the parity triangle directly (the
     shift <-> matmul leg is tests/test_env_core.py::
-    test_shift_mask_impl_bit_equal), even though the kernel internally
+    test_shift_mask_impl_bit_equal, bitboard <-> shift is
+    test_bitboard_mask_impl_bit_equal), even though the kernel internally
     implements the retired matmul formulation.
     """
     from blockpuzzle_tpu.kernels import MaskKernel
