@@ -61,6 +61,9 @@ MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "bitboard")
 # protocol (VERDICT r2 weak #4: bench_backends.py uses N=16384/100-step
 # chunks/no-unroll, so its 2.0-2.6x ratio wasn't apples-to-apples)
 BACKEND = os.environ.get("BP_BENCH_BACKEND", "jnp")
+# EnvState layout: "packed" ((N, H) u32 row words end-to-end — no per-step
+# packing, word-level footprint/collision/clear) or "u8" ((N, HW) cells)
+STATE_IMPL = os.environ.get("BP_BENCH_STATE_IMPL", "u8")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -119,7 +122,8 @@ def bench_device() -> float:
     num_envs = int(NUM_ENVS_RAW)  # validated in main() before the worker runs
 
     env = make_env(PRESETS[PRESET](), backend=BACKEND,
-                   mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL)
+                   mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL,
+                   state_impl=STATE_IMPL)
     state, ts = env.init_jit(jax.random.key(0), num_envs)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 
@@ -293,6 +297,7 @@ def main() -> int:
         ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift", "bitboard"]),
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
         ("BP_BENCH_BACKEND", BACKEND, ["jnp", "hybrid", "pallas"]),
+        ("BP_BENCH_STATE_IMPL", STATE_IMPL, ["u8", "packed"]),
     ):
         if value not in allowed:
             return _knob_error(f"{name}={value!r} not in {allowed}")

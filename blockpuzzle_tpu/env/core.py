@@ -55,6 +55,7 @@ class VecBlockPuzzle:
         rng_impl: str = "rbg",
         mask_dtype: str = "bf16",
         mask_impl: Optional[str] = None,
+        state_impl: str = "u8",
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -99,6 +100,20 @@ class VecBlockPuzzle:
             raise ValueError(f"unknown mask_impl {mask_impl!r}")
         if mask_impl == "bitboard" and cfg.width > 32:
             raise ValueError("mask_impl='bitboard' needs width <= 32")
+        if state_impl not in ("u8", "packed"):
+            raise ValueError(f"unknown state_impl {state_impl!r}")
+        if state_impl == "packed":
+            # packed state keeps EnvState.board as (N, H) u32 row words
+            # end-to-end: no per-step packing, word-level footprint /
+            # collision / clear.  It subsumes the mask question (the mask
+            # IS the bitboard formulation) and is jnp-only.
+            if cfg.width > 32:
+                raise ValueError("state_impl='packed' needs width <= 32")
+            if backend != "jnp":
+                raise ValueError("state_impl='packed' supports backend='jnp'")
+            mask_impl = "bitboard"
+        self.state_impl = state_impl
+        self._packed = state_impl == "packed"
         self.cfg = cfg
         self.backend = backend
         self.rng_impl = rng_impl
@@ -317,6 +332,9 @@ class VecBlockPuzzle:
         out-of-bounds anchors pre-biased by +1024) followed by a gather-free
         static-slice one-hot selection of each hand slot's piece row.
         """
+        if self._packed:
+            # packed engine: ``board`` IS the (N, H) u32 word layout
+            return self._bitboard_mask_from_words(board, queue)
         if self.backend in ("pallas", "hybrid"):
             n = board.shape[0]
             if n % min(self._k_mask.tile_n, n) == 0:
@@ -414,15 +432,34 @@ class VecBlockPuzzle:
         (tested); K = ceil(max_h/fpw) = 2 AND+OR taps for classic19 at
         W=10 vs the shift impl's 13 multiply-add taps.
         """
+        return self._bitboard_mask_from_words(self._pack_board(board), queue)
+
+    def _pack_board(self, board: jax.Array) -> jax.Array:
+        """(N, HW) u8 -> (N, H) u32 row words (bit w of word r = cell (r,w))."""
+        cfg = self.cfg
+        n = board.shape[0]
+        b3 = board.reshape(n, cfg.height, cfg.width)
+        return jnp.sum(
+            b3.astype(jnp.uint32) * self._bb_pow2[None, None, :], axis=2
+        )
+
+    def _unpack_board(self, words: jax.Array) -> jax.Array:
+        """(N, H) u32 row words -> (N, H, W) u8 cells."""
+        bits = (
+            words[:, :, None] >> self._bb_c_iota[None, None, :]
+        ) & jnp.uint32(1)
+        return bits.astype(jnp.uint8)
+
+    def _bitboard_mask_from_words(
+        self, words: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        """Hand mask from pre-packed (N, H) u32 row words (see
+        _action_mask_bitboard for the algorithm)."""
         cfg = self.cfg
         t = self.tables
-        n = board.shape[0]
+        n = words.shape[0]
         h, w = cfg.height, cfg.width
         fpw, nwords = self._bb_fpw, self._bb_nwords
-        b3 = board.reshape(n, h, w)
-        words = jnp.sum(
-            b3.astype(jnp.uint32) * self._bb_pow2[None, None, :], axis=2
-        )                                                     # (N, H)
         pad = jnp.full(
             (n, t.max_h - 1), np.uint32((1 << w) - 1), dtype=jnp.uint32
         )
@@ -557,6 +594,88 @@ class VecBlockPuzzle:
         return cleared, k
 
     # ------------------------------------------------------------------
+    # Packed-state (u32 row words) step pieces
+    # ------------------------------------------------------------------
+
+    def board_obs(self, board: jax.Array) -> jax.Array:
+        """Engine-layout-agnostic (N, H, W) u8 board view (for policies)."""
+        if self._packed:
+            return self._unpack_board(board)
+        n = board.shape[0]
+        return board.reshape(n, self.cfg.height, self.cfg.width)
+
+    def _cover_words(
+        self, attrs: jax.Array, r: jax.Array, c: jax.Array
+    ) -> jax.Array:
+        """(N, H) u32 footprint words of the chosen action — the packed
+        analogue of the <=2-rectangle index-compare materialization: each
+        rect is a shifted (2^rw - 1) row mask selected onto its row range.
+        Sentinel/invalid pieces have all-zero attrs -> all-zero cover."""
+        n = attrs.shape[0]
+        row_iota = jnp.arange(self.cfg.height, dtype=jnp.int32)[None, :]
+        cover = jnp.zeros((n, self.cfg.height), jnp.uint32)
+        for j in range(2):
+            dr, dc = attrs[:, 3 + 4 * j, None], attrs[:, 4 + 4 * j, None]
+            rh, rw = attrs[:, 5 + 4 * j, None], attrs[:, 6 + 4 * j, None]
+            r0 = r[:, None] + dr
+            c0 = (c[:, None] + dc).astype(jnp.uint32)
+            rowmask = (
+                (jnp.uint32(1) << rw.astype(jnp.uint32)) - jnp.uint32(1)
+            ) << c0                                            # (N, 1)
+            inrows = (row_iota >= r0) & (row_iota < r0 + rh)   # (N, H)
+            cover = cover | jnp.where(inrows, rowmask, jnp.uint32(0))
+        return cover
+
+    def _clear_scan_packed(
+        self, words: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Simultaneous full-line(+region) clear on (N, H) u32 row words.
+
+        Rows: word == (2^W - 1).  Columns: AND-reduce of all row words —
+        set bits are full columns (counted via popcount).  Regions
+        (region_size rs): AND each rs-row band, then test each aligned
+        rs-bit group.  All full sets come from the PRE-clear board
+        (reference simultaneity semantics), then clear in one AND-NOT.
+        """
+        cfg = self.cfg
+        h, w = cfg.height, cfg.width
+        full_word = np.uint32((1 << w) - 1)
+        full_row = words == full_word                          # (N, H)
+        colbits = words[:, 0]
+        for r in range(1, h):
+            colbits = colbits & words[:, r]                    # (N,)
+        k = full_row.sum(axis=1).astype(jnp.int32)
+        k = k + jax.lax.population_count(colbits).astype(jnp.int32)
+        clearbits = jnp.where(full_row, full_word, jnp.uint32(0)) | (
+            colbits[:, None]
+        )
+        if cfg.region_clear:
+            rs = cfg.region_size
+            tile0 = np.uint32((1 << rs) - 1)
+            reg_rows = []
+            for a in range(h // rs):
+                band = words[:, a * rs]
+                for i in range(1, rs):
+                    band = band & words[:, a * rs + i]         # (N,)
+                regrow = jnp.zeros_like(band)
+                for b in range(w // rs):
+                    tile = np.uint32(tile0 << (b * rs))
+                    fullt = (band & tile) == tile              # (N,)
+                    regrow = regrow | jnp.where(
+                        fullt, tile, jnp.uint32(0)
+                    )
+                    k = k + fullt.astype(jnp.int32)
+                reg_rows.append(regrow[:, None])
+            # expand each band mask over its rs rows (tiny (N, H) concat)
+            clearbits = clearbits | jnp.concatenate(
+                [jnp.broadcast_to(rr, (words.shape[0], rs))
+                 for rr in reg_rows],
+                axis=1,
+            )
+        cleared = words & ~clearbits
+        return cleared, k
+
+    # ------------------------------------------------------------------
     # init / reset
     # ------------------------------------------------------------------
 
@@ -585,8 +704,12 @@ class VecBlockPuzzle:
             queue = self._deal_batch(base_key, counter, tag=1)
         else:
             queue = jnp.asarray(deal_override, dtype=jnp.int32)
+        if self._packed:
+            board0 = jnp.zeros((num_envs, cfg.height), dtype=jnp.uint32)
+        else:
+            board0 = jnp.zeros((num_envs, cfg.num_cells), dtype=jnp.uint8)
         state = EnvState(
-            board=jnp.zeros((num_envs, cfg.num_cells), dtype=jnp.uint8),
+            board=board0,
             queue=queue,
             base_key=base_key,
             rng_counter=jnp.ones(num_envs, dtype=jnp.int32),
@@ -597,7 +720,7 @@ class VecBlockPuzzle:
         zeros_f = jnp.zeros(num_envs, dtype=jnp.float32)
         zeros_b = jnp.zeros(num_envs, dtype=bool)
         ts = TimeStep(
-            board=state.board.reshape(num_envs, cfg.height, cfg.width),
+            board=self.board_obs(state.board),
             queue=state.queue,
             action_mask=self._empty_board_mask(queue),
             reward=zeros_f,
@@ -628,7 +751,7 @@ class VecBlockPuzzle:
         zeros_f = jnp.zeros(n, dtype=jnp.float32)
         zeros_b = jnp.zeros(n, dtype=bool)
         ts = TimeStep(
-            board=new.board.reshape(n, self.cfg.height, self.cfg.width),
+            board=self.board_obs(new.board),
             queue=new.queue,
             action_mask=self._empty_board_mask(queue),
             reward=zeros_f,
@@ -679,7 +802,7 @@ class VecBlockPuzzle:
         )
         zeros_b = jnp.zeros(n, dtype=bool)
         ts = TimeStep(
-            board=new.board.reshape(n, self.cfg.height, self.cfg.width),
+            board=self.board_obs(new.board),
             queue=queue,
             # full mask (unmasked envs keep occupied boards), not the
             # empty-board shortcut init/reset use
@@ -768,14 +891,28 @@ class VecBlockPuzzle:
                 & (self._col_idx < c0 + rw)
             )
 
-        cover_row = jnp.logical_or(in_rect(0), in_rect(1)).astype(jnp.uint8)
-
         # -- collision check + masked place + clear ----------------------
-        if self.backend == "pallas":
+        if self._packed:
+            cover = self._cover_words(attrs, r, c)             # (N, H) u32
+            overlap = jnp.any((state.board & cover) != 0, axis=1)
+            legal = jnp.logical_and(valid_a, jnp.logical_not(overlap))
+            placed = jnp.where(
+                legal[:, None], state.board | cover, state.board
+            )
+            cleared, k = self._clear_scan_packed(placed)
+            k = jnp.where(legal, k, 0)
+            board_next = jnp.where(legal[:, None], cleared, state.board)
+        elif self.backend == "pallas":
+            cover_row = jnp.logical_or(
+                in_rect(0), in_rect(1)
+            ).astype(jnp.uint8)
             board_next, k, legal = self._k_apply(
                 state.board, cover_row, valid_a, interpret=self._interpret
             )
         else:
+            cover_row = jnp.logical_or(
+                in_rect(0), in_rect(1)
+            ).astype(jnp.uint8)
             overlap = jnp.sum(
                 (state.board & cover_row).astype(jnp.int32), axis=1
             )
@@ -891,7 +1028,7 @@ class VecBlockPuzzle:
             # pre-reset ("final") observation for Gym-adapter and learner
             # consumers (truncation bootstrapping); identical to the live
             # obs for non-done envs
-            info["final_board"] = board_next.reshape(n, cfg.height, cfg.width)
+            info["final_board"] = self.board_obs(board_next)
             info["final_queue"] = queue3
             info["final_action_mask"] = mask
             if cfg.obs_planes:
@@ -911,7 +1048,7 @@ class VecBlockPuzzle:
             streak=streak_out,
         )
         ts = TimeStep(
-            board=board_out.reshape(n, cfg.height, cfg.width),
+            board=self.board_obs(board_out),
             queue=queue_out,
             action_mask=mask_out,
             reward=reward,
@@ -953,6 +1090,7 @@ def make_env(
     rng_impl: str = "rbg",
     mask_dtype: str = "bf16",
     mask_impl: Optional[str] = None,
+    state_impl: str = "u8",
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:
@@ -968,4 +1106,5 @@ def make_env(
         rng_impl=rng_impl,
         mask_dtype=mask_dtype,
         mask_impl=mask_impl,
+        state_impl=state_impl,
     )

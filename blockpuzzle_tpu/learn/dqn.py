@@ -228,9 +228,7 @@ class DQN:
         )
 
     def observe(self, env_state: EnvState):
-        cfg = self.env.cfg
-        n = env_state.board.shape[0]
-        board = env_state.board.reshape(n, cfg.height, cfg.width)
+        board = self.env.board_obs(env_state.board)
         mask = self.env.action_mask(env_state.board, env_state.queue)
         return board, env_state.queue, mask
 

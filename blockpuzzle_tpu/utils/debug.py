@@ -32,17 +32,20 @@ def validate_env_state(env, state) -> None:
     call outside jit, e.g. between updates in debug runs)."""
     cfg = env.cfg
     n = state.num_envs
-    chex.assert_shape(state.board, (n, cfg.num_cells))
-    chex.assert_type(state.board, jnp.uint8)
+    if getattr(env, "state_impl", "u8") == "packed":
+        chex.assert_shape(state.board, (n, cfg.height))
+        chex.assert_type(state.board, jnp.uint32)
+    else:
+        chex.assert_shape(state.board, (n, cfg.num_cells))
+        chex.assert_type(state.board, jnp.uint8)
     chex.assert_shape(state.queue, (n, cfg.queue_size))
     chex.assert_shape(state.rng_counter, (n,))
     chex.assert_shape(state.steps, (n,))
 
     import numpy as np
 
-    board = np.asarray(state.board)
-    assert ((board == 0) | (board == 1)).all(), "board cells must be 0/1"
-    grid = board.reshape(n, cfg.height, cfg.width)
+    grid = np.asarray(env.board_obs(state.board))
+    assert ((grid == 0) | (grid == 1)).all(), "board cells must be 0/1"
     assert not grid.all(axis=2).any(), "mid-episode board holds a full row"
     assert not grid.all(axis=1).any(), "mid-episode board holds a full col"
     queue = np.asarray(state.queue)

@@ -378,6 +378,8 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 board = jnp.asarray(
                     b_host.reshape(self.num_envs, self.cfg.num_cells)
                 )
+                if self.engine.state_impl == "packed":
+                    board = self.engine._pack_board(board)
             if "queue" in options:
                 q_host = np.asarray(options["queue"], dtype=np.int32)
                 if q_host.shape != (self.num_envs, self.cfg.queue_size):
@@ -393,9 +395,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
                 queue = jnp.asarray(q_host)
             self._state = self._state.replace(board=board, queue=queue)
             ts = ts.replace(
-                board=board.reshape(
-                    self.num_envs, self.cfg.height, self.cfg.width
-                ),
+                board=self.engine.board_obs(board),
                 queue=queue,
                 action_mask=self._mask_fn(board, queue),
                 piece_planes=(

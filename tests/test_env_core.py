@@ -484,6 +484,94 @@ def test_bitboard_rejects_wide_boards():
         make_env(cfg, mask_impl="bitboard")
 
 
+@pytest.mark.parametrize(
+    "cfg_fn", [default_config, tenten_config, woodoku_config, big_config]
+)
+def test_packed_state_engine_bit_equal(cfg_fn):
+    """state_impl="packed" ((N, H) u32 row words end-to-end: packed
+    footprint, collision, clear, mask — no per-step packing) must produce
+    bit-identical TimeSteps to the u8 engine across a mixed legal/illegal
+    auto-reset rollout, including region clears (woodoku) and streaks."""
+    cfg = cfg_fn()
+    e_u8 = make_env(cfg)
+    e_pk = make_env(cfg, state_impl="packed")
+    st1, ts1 = e_u8.init_jit(jax.random.key(7), 32)
+    st2, ts2 = e_pk.init_jit(jax.random.key(7), 32)
+    assert st2.board.dtype == jnp.uint32
+    assert st2.board.shape == (32, cfg.height)
+    step1 = jax.jit(e_u8.step)
+    step2 = jax.jit(e_pk.step)
+    for i in range(60):
+        np.testing.assert_array_equal(
+            np.asarray(ts1.board), np.asarray(ts2.board), err_msg=f"step {i}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ts1.action_mask), np.asarray(ts2.action_mask)
+        )
+        r = jax.random.uniform(
+            jax.random.fold_in(jax.random.key(0), i),
+            (32, ts1.action_mask.shape[1]),
+        )
+        if i % 7 == 3:  # sometimes-illegal: raw argmax ignores the mask
+            a = jnp.argmax(r, axis=1).astype(jnp.int32)
+        else:
+            a = jnp.argmax(
+                jnp.where(ts1.action_mask, r, -1.0), axis=1
+            ).astype(jnp.int32)
+        st1, ts1 = step1(st1, a)
+        st2, ts2 = step2(st2, a)
+        for f in ("reward", "terminated", "truncated", "queue"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ts1, f)), np.asarray(getattr(ts2, f)),
+                err_msg=f"step {i} field {f}",
+            )
+        for f in ("lines_cleared", "legal", "episode_return", "streak"):
+            np.testing.assert_array_equal(
+                np.asarray(ts1.info[f]), np.asarray(ts2.info[f]),
+                err_msg=f"step {i} info {f}",
+            )
+    m = jnp.asarray(np.arange(32) % 3 == 0)
+    _, q1 = jax.jit(e_u8.partial_reset)(st1, m)
+    _, q2 = jax.jit(e_pk.partial_reset)(st2, m)
+    np.testing.assert_array_equal(np.asarray(q1.board), np.asarray(q2.board))
+    np.testing.assert_array_equal(
+        np.asarray(q1.action_mask), np.asarray(q2.action_mask)
+    )
+
+
+def test_packed_state_ppo_and_dqn_train():
+    """Learners run unchanged on the packed engine via board_obs (the
+    engine-layout-agnostic observation view)."""
+    from blockpuzzle_tpu.learn import DQN, DQNConfig, PPO, PPOConfig
+
+    env = make_env(default_config(), state_impl="packed")
+    from blockpuzzle_tpu.learn.ppo import default_hypers
+
+    ppo = PPO(env, PPOConfig(num_envs=16, rollout_len=8, torso="mlp",
+                             mlp_width=32, num_minibatches=2, num_epochs=1))
+    state = ppo.init(jax.random.key(0))
+    state, metrics = jax.jit(ppo.update)(state, default_hypers(ppo.cfg))
+    assert np.isfinite(float(metrics["loss"]))
+    dqn = DQN(env, DQNConfig(num_envs=8, buffer_size=128, batch_size=8,
+                             collect_steps=2, min_buffer=8, hidden=16,
+                             channels=(4,)))
+    dstate = dqn.init(jax.random.key(1))
+    dstate, dmetrics = jax.jit(dqn.iteration)(dstate)
+    assert np.isfinite(float(dmetrics["loss"]))
+
+
+def test_packed_state_validation():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="width <= 32"):
+        make_env(dataclasses.replace(default_config(), width=33),
+                 state_impl="packed")
+    with pytest.raises(ValueError, match="unknown state_impl"):
+        make_env(default_config(), state_impl="bogus")
+    with pytest.raises(ValueError, match="backend"):
+        make_env(default_config(), backend="pallas", state_impl="packed")
+
+
 def test_make_env_defaults_to_bitboard_mask():
     """bitboard won the round-4 hardware head-to-head (209.2M vs shift's
     151.4M steps/s — docs/RESULTS.md); it is the production default for
