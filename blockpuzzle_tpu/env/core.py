@@ -309,7 +309,13 @@ class VecBlockPuzzle:
         """(N, P, HW) bool: legality of every piece at every anchor.
 
         One bf16 matmul: counts of occupied cells under each footprint.
+        Accepts the engine's native board layout (packed engines unpack
+        first — this is an inspection/test surface, not the hot path).
         """
+        if self._packed:
+            board = self._unpack_board(board).reshape(
+                board.shape[0], self.cfg.num_cells
+            )
         if self.backend == "pallas":
             return self._k_legal(board, interpret=self._interpret)
         counts = jnp.dot(

@@ -19,6 +19,7 @@ run() {
   echo "=== rc=$? $(date +%H:%M:%S)"
 }
 
+run env BP_BENCH_STATE_IMPL=packed "$PY" bench.py
 for P in tenten woodoku big; do
   run env BP_BENCH_PRESET=$P "$PY" bench.py
 done
