@@ -61,9 +61,10 @@ MASK_IMPL = os.environ.get("BP_BENCH_MASK_IMPL", "bitboard")
 # protocol (VERDICT r2 weak #4: bench_backends.py uses N=16384/100-step
 # chunks/no-unroll, so its 2.0-2.6x ratio wasn't apples-to-apples)
 BACKEND = os.environ.get("BP_BENCH_BACKEND", "jnp")
-# EnvState layout: "packed" ((N, H) u32 row words end-to-end — no per-step
-# packing, word-level footprint/collision/clear) or "u8" ((N, HW) cells)
-STATE_IMPL = os.environ.get("BP_BENCH_STATE_IMPL", "u8")
+# EnvState layout: "auto" resolves to "packed" ((N, H) u32 row words
+# end-to-end, the round-4 production default — 293.5M vs 209.2M steps/s)
+# wherever rows fit a u32 word; "u8" ((N, HW) cells) selectable
+STATE_IMPL = os.environ.get("BP_BENCH_STATE_IMPL", "auto")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -123,7 +124,7 @@ def bench_device() -> float:
 
     env = make_env(PRESETS[PRESET](), backend=BACKEND,
                    mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL,
-                   state_impl=STATE_IMPL)
+                   state_impl=None if STATE_IMPL == "auto" else STATE_IMPL)
     state, ts = env.init_jit(jax.random.key(0), num_envs)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
 
@@ -297,7 +298,7 @@ def main() -> int:
         ("BP_BENCH_MASK_IMPL", MASK_IMPL, ["matmul", "shift", "bitboard"]),
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
         ("BP_BENCH_BACKEND", BACKEND, ["jnp", "hybrid", "pallas"]),
-        ("BP_BENCH_STATE_IMPL", STATE_IMPL, ["u8", "packed"]),
+        ("BP_BENCH_STATE_IMPL", STATE_IMPL, ["auto", "u8", "packed"]),
     ):
         if value not in allowed:
             return _knob_error(f"{name}={value!r} not in {allowed}")

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="DQN dueling head — changes the param tree "
                         "(default: from run_meta.json)")
+    p.add_argument("--state-impl", choices=["auto", "packed", "u8"],
+                   default="auto", help="EnvState board layout "
+                        "(auto = packed where supported)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto")
     return p
@@ -93,7 +96,8 @@ def main(argv=None) -> int:
     _fill_from_run_meta(args, mgr)
 
     cfg = cli_env_config(args.preset, args.env)
-    env = make_env(cfg)
+    env = make_env(cfg, state_impl=None if args.state_impl == "auto"
+                   else args.state_impl)
     cfg = env.cfg
     if args.algo == "ppo":
         net = PPO(

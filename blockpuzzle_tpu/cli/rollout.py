@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--env queue_size=3")
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=512)
+    p.add_argument("--state-impl", choices=["auto", "packed", "u8"],
+                   default="auto", help="EnvState board layout "
+                        "(auto = packed where supported)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", action="store_true",
                    help="single oracle env with ASCII rendering")
@@ -64,7 +67,8 @@ def run_batched(args) -> int:
     enable_compilation_cache()
 
     cfg = cli_env_config(args.preset, args.env)
-    env = make_env(cfg)
+    env = make_env(cfg, state_impl=None if args.state_impl == "auto"
+                   else args.state_impl)
     state, ts = env.init_jit(jax.random.key(args.seed), args.num_envs)
 
     @jax.jit

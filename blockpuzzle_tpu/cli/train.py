@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PPO: scan this many updates per device dispatch "
                         "(amortizes host round trips; --updates must be a "
                         "multiple)")
+    p.add_argument("--state-impl", choices=["auto", "packed", "u8"],
+                   default="auto",
+                   help="EnvState board layout: packed (u32 row words, the "
+                        "round-4 default and fastest) or u8 (pre-packed "
+                        "checkpoint layout).  auto = packed for new runs; "
+                        "on --resume it matches the checkpoint's recorded "
+                        "layout (missing field = u8, the pre-round-4 "
+                        "layout)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=10)
@@ -104,7 +112,22 @@ def main(argv=None) -> int:
         dist.init_distributed()
 
     cfg = cli_env_config(args.preset, args.env)
-    env = make_env(cfg)
+    state_impl = None if args.state_impl == "auto" else args.state_impl
+    if args.state_impl == "auto" and args.resume and args.checkpoint_dir:
+        # match the checkpoint's EnvState layout (run_meta records it from
+        # round 4 on; earlier checkpoints are all u8)
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(args.checkpoint_dir, "run_meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                state_impl = _json.load(f).get("state_impl", "u8")
+        else:
+            # no run_meta = a pre-round-4 or hand-assembled dir: those
+            # checkpoints all hold the u8 layout
+            state_impl = "u8"
+    env = make_env(cfg, state_impl=state_impl)
     mesh = dist.make_mesh(tp=args.tp)
 
     if args.algo == "ppo":
@@ -189,6 +212,7 @@ def main(argv=None) -> int:
             "env_overrides": list(args.env), "torso": args.torso,
             "mlp_width": args.mlp_width, "queue_mode": args.queue_mode,
             "dueling": args.dueling,  # changes the DQN param tree
+            "state_impl": env.state_impl,  # --resume must match the layout
         })
     start = 0
     if ckpt and args.resume and ckpt.latest_step() is not None:

@@ -41,7 +41,13 @@ from blockpuzzle_tpu.env.state import EnvState, TimeStep
 
 
 class VecBlockPuzzle:
-    """Vectorized BlockPuzzle over a (N, H*W) uint8 board tensor.
+    """Vectorized BlockPuzzle over a batched board tensor.
+
+    The production default board layout is PACKED: (N, H) u32 row words
+    (state_impl="packed", round 4 — 293.5M env-steps/s vs 209.2M for the
+    u8 layout at the headline protocol).  state_impl="u8" keeps the
+    (N, H*W) uint8 cell layout (pre-round-4 checkpoints, mask-impl
+    comparisons, Pallas backends).
 
     All methods are pure functions of their inputs; the instance only holds
     static configuration and constant tables (baked into jitted programs).
@@ -55,7 +61,7 @@ class VecBlockPuzzle:
         rng_impl: str = "rbg",
         mask_dtype: str = "bf16",
         mask_impl: Optional[str] = None,
-        state_impl: str = "u8",
+        state_impl: Optional[str] = None,
     ) -> None:
         """Args:
           cfg: static game configuration.
@@ -86,20 +92,32 @@ class VecBlockPuzzle:
             AND+OR word taps per anchor (2 for classic19 at W=10) instead
             of 13 bf16 multiply-add taps — the packed-state lever the
             round-3 roofline named.  Bit-equal (tested); width <= 32 only.
+          state_impl: EnvState.board layout.  Default (None) resolves to
+            "packed" ((N, H) u32 row words end-to-end — fastest measured)
+            when rows fit a u32 word, the backend is jnp, and no
+            non-bitboard mask_impl was requested; "u8" ((N, H*W) cells)
+            otherwise and for explicit opt-out (e.g. resuming pre-packed
+            checkpoints).
         """
         if backend not in ("jnp", "pallas", "hybrid"):
             raise ValueError(f"unknown backend {backend!r}")
         if mask_dtype not in ("bf16", "int8"):
             raise ValueError(f"unknown mask_dtype {mask_dtype!r}")
-        if mask_impl is None:
-            # bitboard won the round-4 hardware head-to-head (209.2M vs
-            # shift's 151.4M steps/s at the headline protocol) but needs
-            # board rows to fit a u32 word; wider boards keep shift
-            mask_impl = "bitboard" if cfg.width <= 32 else "shift"
-        if mask_impl not in ("matmul", "shift", "bitboard"):
-            raise ValueError(f"unknown mask_impl {mask_impl!r}")
-        if mask_impl == "bitboard" and cfg.width > 32:
-            raise ValueError("mask_impl='bitboard' needs width <= 32")
+        if state_impl is None:
+            # packed state won the round-4 hardware ladder (293.5M vs
+            # 209.2M bitboard-mask-on-u8 vs 151.4M shift steps/s at the
+            # headline protocol) and is the production default wherever it
+            # applies: rows fit a u32 word, jnp backend, and no explicit
+            # request for a different mask formulation (mask comparisons
+            # need the u8 layout).  Note: pre-round-4 checkpoints hold u8
+            # EnvStates — cli.train auto-matches on --resume via run_meta,
+            # or pass state_impl="u8" explicitly.
+            state_impl = (
+                "packed"
+                if (cfg.width <= 32 and backend == "jnp"
+                    and mask_impl in (None, "bitboard"))
+                else "u8"
+            )
         if state_impl not in ("u8", "packed"):
             raise ValueError(f"unknown state_impl {state_impl!r}")
         if state_impl == "packed":
@@ -111,7 +129,19 @@ class VecBlockPuzzle:
                 raise ValueError("state_impl='packed' needs width <= 32")
             if backend != "jnp":
                 raise ValueError("state_impl='packed' supports backend='jnp'")
+            if mask_impl not in (None, "bitboard"):
+                raise ValueError(
+                    "state_impl='packed' implies mask_impl='bitboard'; got "
+                    f"{mask_impl!r}"
+                )
             mask_impl = "bitboard"
+        if mask_impl is None:
+            # u8 state: bitboard mask still beats shift (209.2M vs 151.4M)
+            mask_impl = "bitboard" if cfg.width <= 32 else "shift"
+        if mask_impl not in ("matmul", "shift", "bitboard"):
+            raise ValueError(f"unknown mask_impl {mask_impl!r}")
+        if mask_impl == "bitboard" and cfg.width > 32:
+            raise ValueError("mask_impl='bitboard' needs width <= 32")
         self.state_impl = state_impl
         self._packed = state_impl == "packed"
         self.cfg = cfg
@@ -610,6 +640,18 @@ class VecBlockPuzzle:
         n = board.shape[0]
         return board.reshape(n, self.cfg.height, self.cfg.width)
 
+    def encode_board(self, cells) -> jax.Array:
+        """(N, H*W) or (N, H, W) 0/1 cells -> the engine's NATIVE board
+        layout (u8 flat cells, or packed u32 row words).  The inverse of
+        ``board_obs`` up to shape; for crafting states (tests, scenario
+        tooling, VectorEnv reset options)."""
+        cells = jnp.asarray(cells, jnp.uint8).reshape(
+            -1, self.cfg.num_cells
+        )
+        if self._packed:
+            return self._pack_board(cells)
+        return cells
+
     def _cover_words(
         self, attrs: jax.Array, r: jax.Array, c: jax.Array
     ) -> jax.Array:
@@ -1096,7 +1138,7 @@ def make_env(
     rng_impl: str = "rbg",
     mask_dtype: str = "bf16",
     mask_impl: Optional[str] = None,
-    state_impl: str = "u8",
+    state_impl: Optional[str] = None,
 ) -> VecBlockPuzzle:
     """Factory mirroring the reference's env construction (SURVEY.md §3.1)."""
     if cfg is None:

@@ -221,6 +221,7 @@ def main() -> int:
             "algo": "ppo", "preset": args.preset, "env_overrides": [],
             "torso": args.torso, "mlp_width": args.mlp_width,
             "queue_mode": args.queue_mode,
+            "state_impl": env.state_impl,  # cli.train --resume must match
         }
         mgr.save_run_meta(run_meta)
 

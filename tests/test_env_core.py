@@ -42,7 +42,7 @@ def test_action_mask_matches_oracle(cfg, rng):
         queues.append(q)
         expected.append(oracle.legal_action_mask())
     mask = env.action_mask(
-        jnp.asarray(np.stack(boards), dtype=jnp.uint8), jnp.asarray(np.stack(queues))
+        env.encode_board(np.stack(boards)), jnp.asarray(np.stack(queues))
     )
     np.testing.assert_array_equal(np.asarray(mask), np.stack(expected))
 
@@ -63,7 +63,7 @@ def test_step_matches_oracle_single_transitions(rng):
         deal = np.array([[int(rng.integers(0, env.num_pieces))]], np.int32)
 
         state, _ = env.init(jax.random.key(0), 1, deal_override=q[None])
-        state = state.replace(board=jnp.asarray(b.reshape(1, -1), jnp.uint8))
+        state = state.replace(board=env.encode_board(b[None]))
         state, ts = step(state, jnp.asarray([a]), jnp.asarray(deal))
 
         # oracle takes the same deal by stubbing its RNG stream
@@ -116,7 +116,7 @@ def test_step_matches_oracle_single_transitions_with_streak(rng):
 
         state, _ = env.init(jax.random.key(0), 1, deal_override=q[None])
         state = state.replace(
-            board=jnp.asarray(b.reshape(1, -1), jnp.uint8),
+            board=env.encode_board(b[None]),
             streak=jnp.asarray([streak0], jnp.int32),
         )
         state, ts = step(state, jnp.asarray([a]), jnp.asarray(deal))
@@ -146,14 +146,14 @@ def test_auto_reset_reinitializes_done_envs():
     env = make_env(cfg)
     state, ts = env.init(jax.random.key(0), 4)
     # craft env 0 to be near game over: all filled but one cell, 3x3 queued
-    board = np.asarray(state.board).copy()
+    board = np.zeros((4, cfg.num_cells), np.uint8)
     board[0, :] = 1
     board[0, 0] = 0
     board[0, 11] = 0  # keep row/col invariant: leave two holes
     queue = np.asarray(state.queue).copy()
     queue[0] = 10  # 3x3 square cannot fit
     state = state.replace(
-        board=jnp.asarray(board), queue=jnp.asarray(queue)
+        board=env.encode_board(board), queue=jnp.asarray(queue)
     )
     a = jnp.zeros(4, dtype=jnp.int32)  # illegal for env 0 (cell 0,0 blocked...)
     state2, ts2 = env.step(state, a)
@@ -177,7 +177,7 @@ def test_streak_bonus_engine_matches_spec():
     board[0, 5:10] = 1   # env0 row 0 needs cells 0-4
     board[0, 15:20] = 1  # env0 row 1 too
     state = state.replace(
-        board=jnp.asarray(board),
+        board=env.encode_board(board),
         queue=jnp.asarray([[4], [4]], dtype=jnp.int32),  # 1x5 bars
     )
     a0 = rules.encode_action(cfg, 0, 0, 0)
@@ -344,8 +344,8 @@ def test_int8_mask_dtype_bit_equal():
     required to agree exactly, not approximately.
     """
     cfg = tenten_config()
-    env16 = make_env(cfg)
-    env8 = make_env(cfg, mask_dtype="int8")
+    env16 = make_env(cfg, mask_impl="matmul", mask_dtype="bf16")
+    env8 = make_env(cfg, mask_impl="matmul", mask_dtype="int8")
     state, ts = env16.init_jit(jax.random.key(7), 64)
     mask16 = ts.action_mask
     # hoist the jitted callables: a fresh bound method per iteration means
@@ -369,7 +369,7 @@ def test_shift_mask_impl_bit_equal(cfg_fn):
     """mask_impl="shift" (padded cross-correlation, no (N, P*HW)
     intermediate) must match the matmul path bit-for-bit across a rollout."""
     cfg = cfg_fn()
-    env_m = make_env(cfg)
+    env_m = make_env(cfg, mask_impl="matmul")
     env_s = make_env(cfg, mask_impl="shift")
     state, ts = env_m.init_jit(jax.random.key(11), 64)
     mask_m = ts.action_mask
@@ -393,7 +393,7 @@ def test_shift_mask_full_step_rollout_bit_equal():
     """A full auto-reset rollout under the shift engine equals the matmul
     engine (the mask feeds termination and auto-reset)."""
     cfg = tenten_config()
-    env_m = make_env(cfg)
+    env_m = make_env(cfg, mask_impl="matmul")
     env_s = make_env(cfg, mask_impl="shift")
 
     def rollout(env):
@@ -427,8 +427,9 @@ def test_bitboard_mask_impl_bit_equal(cfg_fn):
     across a stepped rollout, including empty-slot sentinels, row/column
     overflow anchors, and the cross-field spill cases cmask strips."""
     cfg = cfg_fn()
-    env_s = make_env(cfg)  # shift default
-    env_b = make_env(cfg, mask_impl="bitboard")
+    env_s = make_env(cfg, mask_impl="shift")
+    # u8 layout: this test feeds env_s's flat boards into env_b's mask
+    env_b = make_env(cfg, mask_impl="bitboard", state_impl="u8")
     state, ts = env_s.init_jit(jax.random.key(13), 64)
     mask_s = ts.action_mask
     bb_mask = jax.jit(env_b.action_mask)
@@ -451,7 +452,7 @@ def test_bitboard_full_step_rollout_bit_equal():
     """A full auto-reset rollout under the bitboard engine equals the shift
     engine (the mask feeds termination and auto-reset)."""
     cfg = tenten_config()
-    env_s = make_env(cfg)
+    env_s = make_env(cfg, mask_impl="shift")
     env_b = make_env(cfg, mask_impl="bitboard")
 
     def rollout(env):
@@ -493,7 +494,7 @@ def test_packed_state_engine_bit_equal(cfg_fn):
     bit-identical TimeSteps to the u8 engine across a mixed legal/illegal
     auto-reset rollout, including region clears (woodoku) and streaks."""
     cfg = cfg_fn()
-    e_u8 = make_env(cfg)
+    e_u8 = make_env(cfg, state_impl="u8")
     e_pk = make_env(cfg, state_impl="packed")
     st1, ts1 = e_u8.init_jit(jax.random.key(7), 32)
     st2, ts2 = e_pk.init_jit(jax.random.key(7), 32)
@@ -570,15 +571,23 @@ def test_packed_state_validation():
         make_env(default_config(), state_impl="bogus")
     with pytest.raises(ValueError, match="backend"):
         make_env(default_config(), backend="pallas", state_impl="packed")
+    with pytest.raises(ValueError, match="implies mask_impl"):
+        make_env(default_config(), state_impl="packed", mask_impl="shift")
 
 
-def test_make_env_defaults_to_bitboard_mask():
-    """bitboard won the round-4 hardware head-to-head (209.2M vs shift's
-    151.4M steps/s — docs/RESULTS.md); it is the production default for
-    every consumer whose board rows fit a u32 word, with shift as the
-    automatic fallback for wider boards."""
-    assert make_env(default_config()).mask_impl == "bitboard"
+def test_make_env_defaults_to_packed_bitboard():
+    """packed state + bitboard mask won the round-4 hardware ladder
+    (293.5M vs 209.2M vs 151.4M steps/s — docs/RESULTS.md); they are the
+    production default for every consumer whose board rows fit a u32
+    word.  Wider boards fall back to u8 + shift; an explicit non-bitboard
+    mask request keeps the u8 layout (mask comparisons need it)."""
+    env = make_env(default_config())
+    assert env.state_impl == "packed" and env.mask_impl == "bitboard"
     import dataclasses
 
-    wide = dataclasses.replace(default_config(), width=33)
-    assert make_env(wide).mask_impl == "shift"
+    wide = make_env(dataclasses.replace(default_config(), width=33))
+    assert wide.state_impl == "u8" and wide.mask_impl == "shift"
+    shift = make_env(default_config(), mask_impl="shift")
+    assert shift.state_impl == "u8" and shift.mask_impl == "shift"
+    pal = make_env(default_config(), backend="pallas")
+    assert pal.state_impl == "u8"

@@ -135,8 +135,9 @@ def test_ragged_batch_falls_back_to_reference(rng):
 def test_mask_kernel_matches_action_mask(rng):
     """Fused mask kernel == engine action_mask, incl. empty sentinel slots.
 
-    ``make_env`` defaults to ``mask_impl="bitboard"`` (round 4), so the
-    reference side here IS the production bitboard path: this test closes
+    The reference side here is the bitboard mask on the u8 layout (the
+    kernel consumes u8 flat boards; the packed default is bit-equal to it
+    by test_packed_state_engine_bit_equal): this test closes
     the bitboard <-> MaskKernel leg of the parity triangle directly (the
     shift <-> matmul leg is tests/test_env_core.py::
     test_shift_mask_impl_bit_equal, bitboard <-> shift is
@@ -147,7 +148,7 @@ def test_mask_kernel_matches_action_mask(rng):
     from blockpuzzle_tpu.config import tenten_config
 
     for cfg in (default_config(), tenten_config()):
-        env = make_env(cfg)
+        env = make_env(cfg, state_impl="u8")  # kernel takes u8 flat boards
         mk = MaskKernel(cfg, tile_n=8)
         board = (rng.random((16, cfg.num_cells)) < 0.4).astype(np.uint8)
         queue = rng.integers(

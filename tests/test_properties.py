@@ -37,7 +37,7 @@ def test_mask_equals_canplace_everywhere(bp):
     expected = ORACLE.legal_action_mask()
     got = np.asarray(
         ENV.action_mask(
-            jnp.asarray(board.reshape(1, -1)), jnp.asarray([[pid]], jnp.int32)
+            ENV.encode_board(board[None]), jnp.asarray([[pid]], jnp.int32)
         )
     )[0]
     np.testing.assert_array_equal(got, expected)
@@ -53,9 +53,9 @@ def test_step_never_leaves_full_line(bp, cell):
     b[b.all(axis=1)] = 0
     b[:, b.all(axis=0)] = 0
     state, _ = ENV.init(jax.random.key(0), 1, deal_override=np.array([[pid]]))
-    state = state.replace(board=jnp.asarray(b.reshape(1, -1), jnp.uint8))
+    state = state.replace(board=ENV.encode_board(b[None]))
     state2, ts = ENV.step(state, jnp.asarray([cell]), auto_reset=False)
-    out = np.asarray(state2.board).reshape(10, 10)
+    out = np.asarray(ENV.board_obs(state2.board))[0]
     assert not out.all(axis=1).any(), "full row left after step"
     assert not out.all(axis=0).any(), "full col left after step"
 
@@ -68,7 +68,7 @@ def test_reward_zero_iff_illegal(bp, cell):
     b[b.all(axis=1)] = 0
     b[:, b.all(axis=0)] = 0
     state, _ = ENV.init(jax.random.key(0), 1, deal_override=np.array([[pid]]))
-    state = state.replace(board=jnp.asarray(b.reshape(1, -1), jnp.uint8))
+    state = state.replace(board=ENV.encode_board(b[None]))
     _, ts = ENV.step(state, jnp.asarray([cell]), auto_reset=False)
     legal = bool(ts.info["legal"][0])
     reward = float(ts.reward[0])
