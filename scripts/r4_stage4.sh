@@ -8,7 +8,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 PY=/opt/venv/bin/python
 echo "=== $(date +%H:%M:%S) w2048 flagship"
-timeout 18000 "$PY" scripts/sweep_ppo.py --configs base --updates 200000 \
+timeout 18000 "$PY" scripts/sweep_ppo.py --configs base --updates 140000 \
     --torso mlp --mlp-width 2048 --num-envs 4096 --log-every 2000 \
     --lr1 3e-5 --lr-decay-start 0.5 --lr-shape cosine \
     --checkpoint-dir ckpt_ppo_w2048 --checkpoint-every 20000 --keep 12 \
