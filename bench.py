@@ -302,6 +302,18 @@ def main() -> int:
     ):
         if value not in allowed:
             return _knob_error(f"{name}={value!r} not in {allowed}")
+    # contradictory combinations would raise deterministically inside the
+    # worker and be retried for the whole device budget — reject them here
+    if STATE_IMPL == "packed" and MASK_IMPL != "bitboard":
+        return _knob_error(
+            "BP_BENCH_STATE_IMPL=packed implies BP_BENCH_MASK_IMPL="
+            f"bitboard (got {MASK_IMPL!r})"
+        )
+    if STATE_IMPL == "packed" and BACKEND != "jnp":
+        return _knob_error(
+            "BP_BENCH_STATE_IMPL=packed supports BP_BENCH_BACKEND=jnp "
+            f"only (got {BACKEND!r})"
+        )
     try:
         if int(NUM_ENVS_RAW) <= 0:
             return _knob_error(

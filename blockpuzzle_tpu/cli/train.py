@@ -112,21 +112,14 @@ def main(argv=None) -> int:
         dist.init_distributed()
 
     cfg = cli_env_config(args.preset, args.env)
+    # one manager instance for the whole run (created before the env so
+    # --resume can match the checkpoint's recorded EnvState layout)
+    ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
     state_impl = None if args.state_impl == "auto" else args.state_impl
-    if args.state_impl == "auto" and args.resume and args.checkpoint_dir:
-        # match the checkpoint's EnvState layout (run_meta records it from
-        # round 4 on; earlier checkpoints are all u8)
-        import json as _json
-        import os as _os
-
-        meta_path = _os.path.join(args.checkpoint_dir, "run_meta.json")
-        if _os.path.exists(meta_path):
-            with open(meta_path) as f:
-                state_impl = _json.load(f).get("state_impl", "u8")
-        else:
-            # no run_meta = a pre-round-4 or hand-assembled dir: those
-            # checkpoints all hold the u8 layout
-            state_impl = "u8"
+    if args.state_impl == "auto" and args.resume and ckpt is not None:
+        # run_meta records state_impl from round 4 on; earlier or
+        # hand-assembled dirs are all u8
+        state_impl = (ckpt.load_run_meta() or {}).get("state_impl", "u8")
     env = make_env(cfg, state_impl=state_impl)
     mesh = dist.make_mesh(tp=args.tp)
 
@@ -203,7 +196,6 @@ def main(argv=None) -> int:
     shardings = dist.to_named(mesh, dist.train_state_spec(state))
     state = jax.device_put(state, shardings)
 
-    ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
     if ckpt:
         # self-describing checkpoint dir: cli.evaluate auto-fills its
         # network/env flags from this (utils/checkpoint.py:save_run_meta)

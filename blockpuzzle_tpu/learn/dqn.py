@@ -435,7 +435,12 @@ class DQN:
             cdf = jnp.cumsum(palpha)
             u = jax.random.uniform(key, (cfg.batch_size,)) * total
             idx = jnp.searchsorted(cdf, u, side="right", method="sort")
-            idx = jnp.minimum(idx, b - 1).astype(jnp.int32)
+            # clamp to the FILLED region, not just the buffer: f32
+            # reduction order makes palpha.sum() != cumsum(palpha)[-1]
+            # (~2e-7 relative), so a draw landing in [cdf[-1], total)
+            # would otherwise hit an unfilled slot with p=0 whose IS
+            # weight max-normalizes every real sample to ~0
+            idx = jnp.minimum(idx, replay.filled - 1).astype(jnp.int32)
         else:
             logits = jnp.where(valid, jnp.log(palpha), -jnp.inf)
             g = jax.random.gumbel(key, (b,))

@@ -375,11 +375,7 @@ class BlockPuzzleVectorEnv(VectorEnv):
                     # non-binary cells would desync the engine's
                     # count==size clear test from the oracle's .all()
                     raise ValueError("options['board'] cells must be 0/1")
-                board = jnp.asarray(
-                    b_host.reshape(self.num_envs, self.cfg.num_cells)
-                )
-                if self.engine.state_impl == "packed":
-                    board = self.engine._pack_board(board)
+                board = self.engine.encode_board(b_host)
             if "queue" in options:
                 q_host = np.asarray(options["queue"], dtype=np.int32)
                 if q_host.shape != (self.num_envs, self.cfg.queue_size):

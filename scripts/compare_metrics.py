@@ -24,12 +24,14 @@ import sys
 HYPER_FIELDS = ("lr", "entropy_coef", "ent_mult")
 
 
-def load(path: str) -> dict[int, dict]:
+def load(path: str) -> dict[tuple, dict]:
     rows = {}
     with open(path) as f:
         for line in f:
             r = json.loads(line)
-            rows[int(r["update"])] = r
+            # key by (config, update): multi-config sweeps restart update
+            # numbering per config, and rows must never collide
+            rows[(r.get("config", ""), int(r["update"]))] = r
     return rows
 
 
@@ -74,11 +76,11 @@ def main() -> int:
             if hyper_div:
                 u, k, va, vb = hyper_div
                 print(f"[{paths[0]} vs {p}] HYPER INPUT diverges first at "
-                      f"update {u}: {k} = {va!r} vs {vb!r}")
+                      f"{u}: {k} = {va!r} vs {vb!r}")
             if math_div:
                 u, k, va, vb = math_div
                 print(f"[{paths[0]} vs {p}] DEVICE MATH diverges first at "
-                      f"update {u}: {k} = {va!r} vs {vb!r}")
+                      f"{u}: {k} = {va!r} vs {vb!r}")
             else:
                 print(f"[{paths[0]} vs {p}] device-math fields identical on "
                       f"{n} common rows despite hyper divergence")
