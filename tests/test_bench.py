@@ -118,3 +118,21 @@ def test_main_fails_fast_on_bad_backend(monkeypatch, capsys):
     assert rc == 0
     parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert parsed["value"] == 0 and "BP_BENCH_BACKEND" in parsed["error"]
+
+
+def test_main_fails_fast_on_contradictory_combo(monkeypatch, capsys):
+    """packed + non-bitboard mask (or non-jnp backend) would raise a
+    deterministic ValueError inside the worker — reject before the loop."""
+    for knob, bad in (("MASK_IMPL", "shift"), ("BACKEND", "hybrid")):
+        monkeypatch.setattr(bench, "STATE_IMPL", "packed")
+        monkeypatch.setattr(bench, knob, bad)
+        monkeypatch.setattr(
+            bench, "_device_value_resilient",
+            lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+        )
+        rc = bench.main()
+        assert rc == 0
+        parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert parsed["value"] == 0
+        assert "BP_BENCH_STATE_IMPL=packed" in parsed["error"]
+        monkeypatch.undo()
