@@ -644,8 +644,14 @@ class VecBlockPuzzle:
         """(N, H*W) or (N, H, W) 0/1 cells -> the engine's NATIVE board
         layout (u8 flat cells, or packed u32 row words).  The inverse of
         ``board_obs`` up to shape; for crafting states (tests, scenario
-        tooling, VectorEnv reset options)."""
-        cells = jnp.asarray(cells, jnp.uint8).reshape(
+        tooling, VectorEnv reset options).
+
+        Cells are clamped to occupancy (nonzero -> 1) in BOTH layouts: the
+        packed pow2 weighted sum would otherwise let a stray value of 2
+        silently set the NEIGHBORING bit (advisor r4), and the u8 path
+        must stay bit-equal to the packed one for any input."""
+        cells = jnp.asarray(cells)
+        cells = (cells != 0).astype(jnp.uint8).reshape(
             -1, self.cfg.num_cells
         )
         if self._packed:

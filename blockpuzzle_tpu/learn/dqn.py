@@ -430,16 +430,19 @@ class DQN:
         )
         total = jnp.maximum(palpha.sum(), 1e-30)
         if cfg.per_replacement:
-            # inverse CDF: u < total and the cdf is flat past `filled`
-            # (palpha=0 there), so unfilled slots are unreachable
+            # inverse CDF: scale u by the cumsum's OWN tail, not by
+            # palpha.sum() — f32 reduction order makes the two differ by
+            # ~2e-7 relative, and a draw landing in the gap
+            # [cdf[-1], sum) would hit an unfilled slot with p=0 whose IS
+            # weight max-normalizes every real sample to ~0 (advisor r4:
+            # with u < cdf[-1] every draw's inclusion probability and IS
+            # weight are exact; the clamp below is a pure backstop for
+            # u == cdf[-1] under side="right").  The cdf is flat past
+            # `filled` (palpha=0 there), so unfilled slots are unreachable.
             cdf = jnp.cumsum(palpha)
+            total = jnp.maximum(cdf[-1], 1e-30)  # p_i normalizer must match
             u = jax.random.uniform(key, (cfg.batch_size,)) * total
             idx = jnp.searchsorted(cdf, u, side="right", method="sort")
-            # clamp to the FILLED region, not just the buffer: f32
-            # reduction order makes palpha.sum() != cumsum(palpha)[-1]
-            # (~2e-7 relative), so a draw landing in [cdf[-1], total)
-            # would otherwise hit an unfilled slot with p=0 whose IS
-            # weight max-normalizes every real sample to ~0
             idx = jnp.minimum(idx, replay.filled - 1).astype(jnp.int32)
         else:
             logits = jnp.where(valid, jnp.log(palpha), -jnp.inf)

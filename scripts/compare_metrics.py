@@ -9,7 +9,11 @@ divergence per field — json floats round-trip exactly, so equal streams
 compare bit-for-bit.
 
 Usage: python scripts/compare_metrics.py a.jsonl b.jsonl [c.jsonl ...]
-Exit 0 = all common rows identical on device-math fields; 1 = divergence.
+Exit 0 = all common rows identical on ALL fields (device math AND hyper
+inputs); 1 = any field diverges.  A hyper-only divergence (lr /
+entropy_coef / ent_mult) still exits 1 — the runs were not same-input, so
+device-math determinism cannot be judged from them — but is reported
+separately so the cause is visible.  2 = usage error / no common rows.
 """
 
 from __future__ import annotations
