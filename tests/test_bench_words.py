@@ -1,0 +1,91 @@
+"""Correctness of the round-5 sampler-folding prototypes
+(scripts/bench_words.py — VERDICT r4 item 8): the packed legal-words
+producer must bit-match the engine's bool mask, and the rank-select
+sampler must be exactly uniform-legal.  CPU sim (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from blockpuzzle_tpu.config import PRESETS
+from blockpuzzle_tpu.env import make_env
+from scripts.bench_words import (
+    make_legal_words_fn,
+    pack_bool_mask,
+    rank_select_bit,
+    sample_from_words,
+)
+
+
+@pytest.mark.parametrize("preset", ["default", "tenten", "woodoku"])
+def test_legal_words_bit_matches_bool_mask(preset):
+    cfg = PRESETS[preset]()
+    env = make_env(cfg)
+    lw = make_legal_words_fn(env)
+    state, ts = env.init_jit(jax.random.key(0), 32)
+    key = jax.random.key(1)
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        bits = jax.random.bits(sub, ts.action_mask.shape, jnp.uint32)
+        a = jnp.argmax(
+            jnp.where(ts.action_mask, bits | jnp.uint32(1), jnp.uint32(0)),
+            axis=-1,
+        )
+        state, ts = env.step_jit(state, a)
+        np.testing.assert_array_equal(
+            np.asarray(lw(state.board, state.queue)),
+            np.asarray(
+                pack_bool_mask(
+                    ts.action_mask, cfg.height, cfg.width, cfg.queue_size
+                )
+            ),
+        )
+
+
+def test_sample_from_words_uniform_legal():
+    cfg = PRESETS["default"]()
+    env = make_env(cfg)
+    lw = make_legal_words_fn(env)
+    state, ts = env.init_jit(jax.random.key(0), 16)
+    key = jax.random.key(1)
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        bits = jax.random.bits(sub, ts.action_mask.shape, jnp.uint32)
+        a = jnp.argmax(
+            jnp.where(ts.action_mask, bits | jnp.uint32(1), jnp.uint32(0)),
+            axis=-1,
+        )
+        state, ts = env.step_jit(state, a)
+    words = lw(state.board, state.queue)
+    mask = np.asarray(ts.action_mask)
+    draws = 400
+    hits = np.zeros_like(mask, dtype=np.int64)
+    sample = jax.jit(sample_from_words, static_argnums=2)
+    for s in range(draws):
+        a = np.asarray(sample(words, jax.random.key(1000 + s), cfg.width))
+        assert mask[np.arange(mask.shape[0]), a].all(), "illegal sample"
+        hits[np.arange(mask.shape[0]), a] += 1
+    # empirical frequency ~ uniform over each env's legal set: every legal
+    # action of env 0 drawn at least once, expected count within 4 sigma
+    legal0 = np.flatnonzero(mask[0])
+    exp = draws / len(legal0)
+    sigma = (draws * (1 / len(legal0)) * (1 - 1 / len(legal0))) ** 0.5
+    assert (hits[0, legal0] > 0).all()
+    assert np.abs(hits[0, legal0] - exp).max() < 4.5 * sigma + 1
+
+
+def test_rank_select_bit_exact():
+    rng = np.random.default_rng(0)
+    words, ranks, expect = [], [], []
+    for _ in range(128):
+        word = np.uint32(rng.integers(1, 2**32, dtype=np.uint64))
+        setbits = np.flatnonzero([(word >> i) & 1 for i in range(32)])
+        j = int(rng.integers(0, len(setbits)))
+        words.append(word)
+        ranks.append(j)
+        expect.append(setbits[j])
+    got = rank_select_bit(
+        jnp.asarray(words), jnp.asarray(ranks, jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
