@@ -1,5 +1,5 @@
-"""Correctness of the round-5 sampler-folding prototypes
-(scripts/bench_words.py — VERDICT r4 item 8): the packed legal-words
+"""Correctness of the round-5 sampler-folding path
+(blockpuzzle_tpu/env/words.py — VERDICT r4 item 8): the packed legal-words
 producer must bit-match the engine's bool mask, and the rank-select
 sampler must be exactly uniform-legal.  CPU sim (conftest)."""
 
@@ -10,11 +10,11 @@ import pytest
 
 from blockpuzzle_tpu.config import PRESETS
 from blockpuzzle_tpu.env import make_env
-from scripts.bench_words import (
-    make_legal_words_fn,
+from blockpuzzle_tpu.env.words import (
+    legal_words,
     pack_bool_mask,
     rank_select_bit,
-    sample_from_words,
+    sample_uniform_legal,
 )
 
 
@@ -22,7 +22,6 @@ from scripts.bench_words import (
 def test_legal_words_bit_matches_bool_mask(preset):
     cfg = PRESETS[preset]()
     env = make_env(cfg)
-    lw = make_legal_words_fn(env)
     state, ts = env.init_jit(jax.random.key(0), 32)
     key = jax.random.key(1)
     for _ in range(6):
@@ -34,7 +33,7 @@ def test_legal_words_bit_matches_bool_mask(preset):
         )
         state, ts = env.step_jit(state, a)
         np.testing.assert_array_equal(
-            np.asarray(lw(state.board, state.queue)),
+            np.asarray(legal_words(env, state.board, state.queue)),
             np.asarray(
                 pack_bool_mask(
                     ts.action_mask, cfg.height, cfg.width, cfg.queue_size
@@ -43,10 +42,9 @@ def test_legal_words_bit_matches_bool_mask(preset):
         )
 
 
-def test_sample_from_words_uniform_legal():
+def test_sample_uniform_legal_uniform_legal():
     cfg = PRESETS["default"]()
     env = make_env(cfg)
-    lw = make_legal_words_fn(env)
     state, ts = env.init_jit(jax.random.key(0), 16)
     key = jax.random.key(1)
     for _ in range(4):
@@ -57,11 +55,11 @@ def test_sample_from_words_uniform_legal():
             axis=-1,
         )
         state, ts = env.step_jit(state, a)
-    words = lw(state.board, state.queue)
+    words = legal_words(env, state.board, state.queue)
     mask = np.asarray(ts.action_mask)
     draws = 400
     hits = np.zeros_like(mask, dtype=np.int64)
-    sample = jax.jit(sample_from_words, static_argnums=2)
+    sample = jax.jit(sample_uniform_legal, static_argnums=2)
     for s in range(draws):
         a = np.asarray(sample(words, jax.random.key(1000 + s), cfg.width))
         assert mask[np.arange(mask.shape[0]), a].all(), "illegal sample"
