@@ -265,3 +265,29 @@ def test_sharded_nstep_dqn_iteration_runs_on_mesh():
     assert int(metrics["buffer_filled"]) == 32  # 2 valid emissions x 16
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.iter_count) == 2
+
+
+def test_sharded_words_sampler_matches_unsharded():
+    """Round-5 serving path: the packed-words uniform-legal sampler
+    (env/words.py) is sharding-stable — dp-sharding the words batch
+    changes nothing bit-wise (threefry keys are position-, not
+    shard-indexed), so a sharded serving fleet samples exactly the
+    actions a single chip would."""
+    from blockpuzzle_tpu.env.words import legal_words, sample_uniform_legal
+
+    mesh = dist.make_mesh()
+    cfg = default_config()
+    env = make_env(cfg)
+    state, ts = env.init(jax.random.key(3), 32)
+    words = legal_words(env, state.board, state.queue)
+    key = jax.random.key(7)
+    fn = jax.jit(sample_uniform_legal, static_argnums=2)
+    ref = fn(words, key, cfg.width)
+    sharded_words = jax.device_put(
+        words, NamedSharding(mesh, P("dp", None))
+    )
+    out = fn(sharded_words, key, cfg.width)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    # every sampled action is legal on the bool mask
+    mask = np.asarray(ts.action_mask)
+    assert mask[np.arange(32), np.asarray(out)].all()
