@@ -486,11 +486,13 @@ class VecBlockPuzzle:
         ) & jnp.uint32(1)
         return bits.astype(jnp.uint8)
 
-    def _bitboard_mask_from_words(
-        self, words: jax.Array, queue: jax.Array
-    ) -> jax.Array:
-        """Hand mask from pre-packed (N, H) u32 row words (see
-        _action_mask_bitboard for the algorithm)."""
+    def _bitboard_legal_slots(self, words: jax.Array, queue: jax.Array):
+        """Per-slot bitboard legality — the shared core of the bool mask
+        and the packed legal-words producer (env/words.py): yields
+        ``(legal3, pid_ok)`` per hand slot, where ``legal3`` is the
+        (N, H, W) bool in-bounds/no-overlap test WITHOUT the hand-slot
+        sentinel guard and ``pid_ok`` is that (N,) guard.  Consumers
+        combine/reshape/pack as their output layout needs."""
         cfg = self.cfg
         t = self.tables
         n = words.shape[0]
@@ -510,7 +512,7 @@ class VecBlockPuzzle:
                     break
                 wk = wk | (padded[:, i : i + h] << np.uint32(j * w))
             wks.append(wk)
-        masks = []
+        out = []
         for s in range(cfg.queue_size):
             pid_s = queue[:, s]
             onehot_b = pid_s[:, None] == self._piece_iota[None, :]  # (N, P)
@@ -532,10 +534,21 @@ class VecBlockPuzzle:
             ok_col = (
                 self._bb_c_iota.astype(jnp.int32)[None, :] + pw[:, None] <= w
             )                                                 # (N, W)
-            m = jnp.logical_and(acc == 0, ok_col[:, None, :]).reshape(
-                n, cfg.num_cells
-            )
-            m = jnp.logical_and(m, (pid_s < self.num_pieces)[:, None])
+            legal3 = jnp.logical_and(acc == 0, ok_col[:, None, :])
+            out.append((legal3, pid_s < self.num_pieces))
+        return out
+
+    def _bitboard_mask_from_words(
+        self, words: jax.Array, queue: jax.Array
+    ) -> jax.Array:
+        """Hand mask from pre-packed (N, H) u32 row words (see
+        _action_mask_bitboard for the algorithm)."""
+        cfg = self.cfg
+        n = words.shape[0]
+        masks = []
+        for legal3, pid_ok in self._bitboard_legal_slots(words, queue):
+            m = legal3.reshape(n, cfg.num_cells)
+            m = jnp.logical_and(m, pid_ok[:, None])
             masks.append(m)
         return jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
 

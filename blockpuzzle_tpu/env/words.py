@@ -48,8 +48,12 @@ def sample_uniform_legal(
     ``a = word_index * W + bit`` — matches the engine's flat
     (slot, row, col) action layout.  One (N,) uniform draw; popcount
     cumsum over the tiny static S*H axis; one-hot select (no gather).
-    Envs with an empty mask (cannot occur under fused auto-reset, whose
-    post-reset mask is the empty-board mask) return action 0."""
+    Uniform up to the f32 draw's ~2^-24 quantization (relative bias
+    ~total/2^24 — negligible but not exact; base bench sampler's argmax
+    tie odds are the analogous ~2^-32).  Envs with an empty mask (cannot
+    occur under fused auto-reset, whose post-reset mask is the
+    empty-board mask; CAN occur on frozen ``auto_reset=False`` terminal
+    states) return action 0."""
     n, sh = words.shape
     cnt = jax.lax.population_count(words).astype(jnp.int32)    # (N, SH)
     csum = jnp.cumsum(cnt, axis=1)                             # (N, SH)
@@ -65,61 +69,28 @@ def sample_uniform_legal(
     word = jnp.sum(jnp.where(onehot, words, jnp.uint32(0)), axis=1)
     prev = jnp.sum(jnp.where(onehot, csum - cnt, 0), axis=1)
     bit = rank_select_bit(word, r - prev)
-    return widx * width + bit
+    # empty mask: widx lands one past the last word (gt all-False) and
+    # the select yields word 0 / bit 31 -> an OUT-OF-RANGE id; pin the
+    # documented action 0 instead
+    return jnp.where(total > 0, widx * width + bit, 0)
 
 
 def legal_words(env, board_words: jax.Array, queue: jax.Array) -> jax.Array:
     """(N, S*H) u32 packed legal mask from a packed-engine board.
 
-    The bitboard mask algorithm (core.VecBlockPuzzle.
-    _bitboard_mask_from_words) with the bool expansion replaced by a
-    pow2 pack over columns.  ``env`` must be a packed-state engine
+    The engine's shared per-slot bitboard legality
+    (core.VecBlockPuzzle._bitboard_legal_slots — the same traced ops as
+    the bool mask path) with the bool expansion replaced by a pow2 pack
+    over columns.  ``env`` must be a packed-state engine
     (``env.state_impl == "packed"``); ``board_words`` is its native
     (N, H) u32 board."""
     if env.state_impl != "packed":
         raise ValueError("legal_words needs a packed-state engine")
-    cfg = env.cfg
-    t = env.tables
-    h, w = cfg.height, cfg.width
-    fpw, nwords = env._bb_fpw, env._bb_nwords
+    w = env.cfg.width
     pow2 = jnp.asarray(np.uint32(1) << np.arange(w, dtype=np.uint32))
-    n = board_words.shape[0]
-    pad = jnp.full(
-        (n, t.max_h - 1), np.uint32((1 << w) - 1), dtype=jnp.uint32
-    )
-    padded = jnp.concatenate([board_words, pad], axis=1)
-    wks = []
-    for k in range(nwords):
-        wk = jnp.zeros((n, h), jnp.uint32)
-        for j in range(fpw):
-            i = k * fpw + j
-            if i >= t.max_h:
-                break
-            wk = wk | (padded[:, i : i + h] << np.uint32(j * w))
-        wks.append(wk)
     outs = []
-    for s in range(cfg.queue_size):
-        pid_s = queue[:, s]
-        onehot_b = pid_s[:, None] == env._piece_iota[None, :]
-        prow = jnp.sum(
-            jnp.where(
-                onehot_b[:, :, None], env._bb_prow[None], jnp.uint32(0)
-            ),
-            axis=1,
-        )
-        pw = jnp.sum(jnp.where(onehot_b, env._bb_piece_w[None], 0), axis=1)
-        acc = jnp.zeros((n, h, w), jnp.uint32)
-        for k in range(nwords):
-            shifted = (
-                prow[:, k : k + 1] << env._bb_c_iota[None, :]
-            ) & env._bb_cmask[None, :]
-            acc = acc | (wks[k][:, :, None] & shifted[:, None, :])
-        ok_col = (
-            env._bb_c_iota.astype(jnp.int32)[None, :] + pw[:, None] <= w
-        )
-        legal = (acc == 0) & ok_col[:, None, :] & (
-            pid_s < env.num_pieces
-        )[:, None, None]
+    for legal3, pid_ok in env._bitboard_legal_slots(board_words, queue):
+        legal = legal3 & pid_ok[:, None, None]
         outs.append(
             jnp.sum(legal.astype(jnp.uint32) * pow2[None, None, :], axis=2)
         )

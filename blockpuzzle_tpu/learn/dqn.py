@@ -428,7 +428,6 @@ class DQN:
         palpha = jnp.where(
             valid, jnp.power(replay.prio + cfg.per_eps, cfg.per_alpha), 0.0
         )
-        total = jnp.maximum(palpha.sum(), 1e-30)
         if cfg.per_replacement:
             # inverse CDF: scale u by the cumsum's OWN tail, not by
             # palpha.sum() — f32 reduction order makes the two differ by
@@ -445,6 +444,7 @@ class DQN:
             idx = jnp.searchsorted(cdf, u, side="right", method="sort")
             idx = jnp.minimum(idx, replay.filled - 1).astype(jnp.int32)
         else:
+            total = jnp.maximum(palpha.sum(), 1e-30)
             logits = jnp.where(valid, jnp.log(palpha), -jnp.inf)
             g = jax.random.gumbel(key, (b,))
             _, idx = jax.lax.top_k(logits + g, cfg.batch_size)

@@ -14,8 +14,10 @@ Three modes, one process, same harness as bench.py's device loop:
   words (env.words.legal_words, relying on XLA CSE against the step's
   internal mask), so the (N, A) bool tensor never enters the scan carry.
 
-All three sample exactly uniform over legal actions (base's argmax tie
-odds ~2^-32 aside).  Prints one JSON line per mode; positive result =
+All three sample uniform over legal actions up to tiny quantization
+(base: argmax tie odds ~2^-32; packsel/words: the f32 rank draw's
+~total/2^24 relative bias).  Prints one JSON line per mode; positive
+result =
 wire ``words`` into the serving consumers, negative = record in
 RESULTS.md and retire (measure-before-believing).
 

@@ -337,7 +337,16 @@ def main() -> int:
         # the saved config (seed, update count, LR schedule, entropy flags,
         # batch shape) — the platform is bit-deterministic, so this makes
         # exact reproduction/extension a metadata read, not log archaeology.
-        run_meta["recipe"] = best[3]
+        # INPUT fields only: measured outcomes (returns, timings, the
+        # controller's final multiplier) stay out so recipe-equality IS a
+        # same-input check.
+        outcome_keys = {
+            "greedy_return", "eval_episodes", "final_train_return",
+            "train_s", "frames_per_s", "ent_mult_final",
+        }
+        run_meta["recipe"] = {
+            k: v for k, v in best[3].items() if k not in outcome_keys
+        }
         mgr.save_run_meta(run_meta)
         print(f"[sweep] saved best ({best[1]}) to {args.checkpoint_dir}",
               file=sys.stderr)

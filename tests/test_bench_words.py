@@ -1,7 +1,8 @@
 """Correctness of the round-5 sampler-folding path
 (blockpuzzle_tpu/env/words.py — VERDICT r4 item 8): the packed legal-words
 producer must bit-match the engine's bool mask, and the rank-select
-sampler must be exactly uniform-legal.  CPU sim (conftest)."""
+sampler must be uniform-legal (up to the f32 rank draw's ~2^-24
+quantization).  CPU sim (conftest)."""
 
 import numpy as np
 import jax
@@ -87,3 +88,18 @@ def test_rank_select_bit_exact():
         jnp.asarray(words), jnp.asarray(ranks, jnp.int32)
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_sample_uniform_legal_empty_mask_returns_zero():
+    """All-zero words (a frozen auto_reset=False terminal state) must
+    return the documented action 0, not the out-of-range S*H*W + 31 the
+    unguarded arithmetic would produce (round-5 review finding)."""
+    words = jnp.zeros((4, 10), jnp.uint32)
+    a = sample_uniform_legal(words, jax.random.key(0), 10)
+    np.testing.assert_array_equal(np.asarray(a), 0)
+    # mixed batch: empty envs pin 0, the non-empty env stays legal
+    # (.at[1] fills ALL of env 1's words with bits {2, 5})
+    words = words.at[1].set(jnp.uint32(0b100100))
+    a = np.asarray(sample_uniform_legal(words, jax.random.key(1), 10))
+    assert a[0] == 0 and a[2] == 0 and a[3] == 0
+    assert a[1] % 10 in (2, 5)

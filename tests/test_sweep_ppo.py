@@ -164,6 +164,12 @@ def test_sweep_eval_kept_records_peak_step(tmp_path):
     assert recipe["lr0_eff"] == 3e-4 and recipe["lr1_eff"] == 3e-5
     assert recipe["lr_decay_start"] == 0.5 and recipe["lr_shape"] == "cosine"
     assert recipe["ent_floor"] == 10.0 and recipe["ent_every"] == 3
+    # inputs only: recipe-equality must be usable as a same-input check,
+    # so measured outcomes stay out of it
+    for outcome in ("greedy_return", "train_s", "frames_per_s",
+                    "eval_episodes", "final_train_return",
+                    "ent_mult_final"):
+        assert outcome not in recipe, outcome
     # full-precision metrics stream: one row per log boundary, floats
     # round-trip exactly (determinism-probe contract)
     rows = [json.loads(l) for l in jsonl.read_text().splitlines()]
