@@ -65,6 +65,11 @@ BACKEND = os.environ.get("BP_BENCH_BACKEND", "jnp")
 # end-to-end, the round-4 production default — 293.5M vs 209.2M steps/s)
 # wherever rows fit a u32 word; "u8" ((N, HW) cells) selectable
 STATE_IMPL = os.environ.get("BP_BENCH_STATE_IMPL", "auto")
+# uniform-legal sampler: "argmax" (iid u32 draw over the (N, A) bool
+# mask + argmax — the headline protocol) or "words" (round 5: popcount
+# rank-select over (N, S*H) packed legal words, env/words.py — requires
+# the packed engine; measured head-to-head by scripts/bench_words.py)
+SAMPLER = os.environ.get("BP_BENCH_SAMPLER", "argmax")
 CHUNK = 400                        # long chunks amortize dispatch latency
 ITERS = 8                          # ~1 s/window: amortizes the device_get RTT
 WINDOWS = 5                        # median window is the headline (robust
@@ -125,14 +130,27 @@ def bench_device() -> float:
     env = make_env(PRESETS[PRESET](), backend=BACKEND,
                    mask_dtype=MASK_DTYPE, mask_impl=MASK_IMPL,
                    state_impl=None if STATE_IMPL == "auto" else STATE_IMPL)
+    if SAMPLER == "words" and env.state_impl != "packed":
+        raise ValueError("BP_BENCH_SAMPLER=words needs the packed engine")
     state, ts = env.init_jit(jax.random.key(0), num_envs)
     policy_key = jax.random.key(1, impl="rbg")  # fast PRNG for gumbel sampling
+    if SAMPLER == "words":
+        from blockpuzzle_tpu.env.words import legal_words, sample_uniform_legal
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(state, mask, key):
         def body(carry, _):
             state, mask, key = carry
             key, sub = jax.random.split(key)
+            if SAMPLER == "words":
+                # round 5: popcount rank-select over (N, S*H) packed legal
+                # words — one (N,) uniform instead of an (N, A) u32 draw
+                a = sample_uniform_legal(mask, sub, env.cfg.width)
+                state, ts = env.step(state, a)
+                return (
+                    (state, legal_words(env, state.board, state.queue), key),
+                    ts.reward.sum(),
+                )
             # uniform-legal sampling WITHOUT gumbel noise: iid u32 per
             # action, argmax over legal slots picks uniformly (tie odds
             # ~2^-32).  categorical() would spend two transcendentals
@@ -158,7 +176,12 @@ def bench_device() -> float:
     # 0.2 ms, device_get 215 s draining the real work) — it is NOT a
     # completion barrier.  Every window below must end in a device_get
     # (float()) of a value that depends on the whole program.
-    out = chunk(state, ts.action_mask, policy_key)  # compile + warmup
+    carry0 = (
+        legal_words(env, state.board, state.queue)
+        if SAMPLER == "words"
+        else ts.action_mask
+    )
+    out = chunk(state, carry0, policy_key)  # compile + warmup
     state, mask, key, r = out
     float(r)  # drain compile + warmup before the timed windows
     rates = []
@@ -299,6 +322,7 @@ def main() -> int:
         ("BP_BENCH_MASK_DTYPE", MASK_DTYPE, ["bf16", "int8"]),
         ("BP_BENCH_BACKEND", BACKEND, ["jnp", "hybrid", "pallas"]),
         ("BP_BENCH_STATE_IMPL", STATE_IMPL, ["auto", "u8", "packed"]),
+        ("BP_BENCH_SAMPLER", SAMPLER, ["argmax", "words"]),
     ):
         if value not in allowed:
             return _knob_error(f"{name}={value!r} not in {allowed}")
@@ -313,6 +337,14 @@ def main() -> int:
         return _knob_error(
             "BP_BENCH_STATE_IMPL=packed supports BP_BENCH_BACKEND=jnp "
             f"only (got {BACKEND!r})"
+        )
+    if SAMPLER == "words" and (STATE_IMPL == "u8" or BACKEND != "jnp"
+                               or MASK_IMPL != "bitboard"):
+        return _knob_error(
+            "BP_BENCH_SAMPLER=words needs the packed engine "
+            "(BP_BENCH_STATE_IMPL auto/packed, BP_BENCH_BACKEND=jnp, "
+            f"BP_BENCH_MASK_IMPL=bitboard); got state_impl={STATE_IMPL!r} "
+            f"backend={BACKEND!r} mask_impl={MASK_IMPL!r}"
         )
     try:
         if int(NUM_ENVS_RAW) <= 0:

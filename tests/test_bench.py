@@ -136,3 +136,58 @@ def test_main_fails_fast_on_contradictory_combo(monkeypatch, capsys):
         assert parsed["value"] == 0
         assert "BP_BENCH_STATE_IMPL=packed" in parsed["error"]
         monkeypatch.undo()
+
+
+def test_main_fails_fast_on_words_sampler_without_packed(monkeypatch, capsys):
+    """BP_BENCH_SAMPLER=words needs the packed engine: u8 state, non-jnp
+    backend, or non-bitboard mask must be rejected before the device
+    loop (round-5 knob)."""
+    for knob, bad in (("STATE_IMPL", "u8"), ("BACKEND", "pallas"),
+                      ("MASK_IMPL", "shift")):
+        monkeypatch.setattr(bench, "SAMPLER", "words")
+        monkeypatch.setattr(bench, knob, bad)
+        monkeypatch.setattr(
+            bench, "_device_value_resilient",
+            lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+        )
+        rc = bench.main()
+        assert rc == 0
+        parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert parsed["value"] == 0
+        assert "BP_BENCH_SAMPLER=words" in parsed["error"]
+        monkeypatch.undo()
+
+
+def test_main_fails_fast_on_bad_sampler(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "SAMPLER", "gumbel")
+    monkeypatch.setattr(
+        bench, "_device_value_resilient",
+        lambda: (_ for _ in ()).throw(AssertionError("device loop entered")),
+    )
+    rc = bench.main()
+    assert rc == 0
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["value"] == 0 and "BP_BENCH_SAMPLER" in parsed["error"]
+
+
+def test_bench_device_words_sampler_runs(monkeypatch):
+    """The words-sampler device loop runs end-to-end (tiny shapes, CPU
+    sim) and reports a positive steady-state rate — pins the round-5
+    BP_BENCH_SAMPLER=words wiring (carry init, step, re-mask)."""
+    monkeypatch.setattr(bench, "SAMPLER", "words")
+    monkeypatch.setattr(bench, "NUM_ENVS_RAW", "32")
+    monkeypatch.setattr(bench, "CHUNK", 8)
+    monkeypatch.setattr(bench, "ITERS", 2)
+    monkeypatch.setattr(bench, "WINDOWS", 1)
+    assert bench.bench_device() > 0
+
+
+def test_bench_device_default_sampler_runs(monkeypatch):
+    """The PRODUCTION bench path (argmax sampler, packed engine) runs
+    end-to-end on tiny shapes — insurance that knob refactors never
+    break the driver's end-of-round bench."""
+    monkeypatch.setattr(bench, "NUM_ENVS_RAW", "32")
+    monkeypatch.setattr(bench, "CHUNK", 8)
+    monkeypatch.setattr(bench, "ITERS", 2)
+    monkeypatch.setattr(bench, "WINDOWS", 1)
+    assert bench.bench_device() > 0
