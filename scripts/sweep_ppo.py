@@ -105,6 +105,29 @@ def main() -> int:
                    help="entropy-controller cadence in updates (0 = at log "
                         "boundaries, the pre-round-4 behavior); each firing "
                         "costs one device_get sync of the update metrics")
+    # KL-adaptive clipping (round 5): the one quality lever VERDICT r4 /
+    # RESULTS.md named but never measured.  clip_eps is already a RUNTIME
+    # scalar (learn/ppo.py default_hypers), so — like the entropy floor —
+    # this is a host-side controller, no learner change, no recompile.
+    # Standard banded rule (adaptive-KL PPO): when measured approx_kl
+    # leaves [target/2, 2*target], the clip multiplier is divided/
+    # multiplied by --kl-adapt (tighter clip <=> smaller policy steps).
+    # Measured scale on this task: approx_kl sits ~1e-3..2e-3 in steady
+    # state at lr 3e-4 (runs/w2048_300k_metrics.jsonl), ~0.09 on the
+    # first update.
+    p.add_argument("--kl-target", type=float, default=0.0,
+                   help="target approx_kl per update (0 = controller off); "
+                        "steady state here measures ~1e-3..2e-3")
+    p.add_argument("--kl-adapt", type=float, default=1.5,
+                   help="band factor: clip multiplier /= adapt when "
+                        "approx_kl > 2*target, *= adapt when < target/2")
+    p.add_argument("--kl-min-mult", type=float, default=0.25,
+                   help="floor on the clip multiplier")
+    p.add_argument("--kl-max-mult", type=float, default=2.0,
+                   help="cap on the clip multiplier")
+    p.add_argument("--kl-every", type=int, default=0,
+                   help="KL-controller cadence in updates (0 = at log "
+                        "boundaries); each firing costs one device_get sync")
     # Round 4: piecewise LR schedule (VERDICT r3 item 1).  Every long run so
     # far used constant 3e-4; the 1M probe's post-350k collapse is the
     # textbook case for late LR decay.  --lr0/--lr1 override the chosen
@@ -226,6 +249,7 @@ def main() -> int:
         mgr.save_run_meta(run_meta)
 
     ent_cadence = args.ent_every if args.ent_every > 0 else args.log_every
+    kl_cadence = args.kl_every if args.kl_every > 0 else args.log_every
     metrics_f = open(args.metrics_jsonl, "a") if args.metrics_jsonl else None
 
     results = []
@@ -236,12 +260,13 @@ def main() -> int:
         t0 = time.time()
         last_ret = 0.0
         ent_mult = 1.0  # entropy-floor controller state (host-side)
+        clip_mult = 1.0  # KL-adaptive clip controller state (host-side)
         for u in range(args.updates):
             frac = u / max(args.updates - 1, 1)
             hypers = {
                 "lr": lr_at(c, frac),
                 "entropy_coef": ent_mult * interp(c["ent0"], c["ent1"], frac),
-                "clip_eps": c["clip"],
+                "clip_eps": clip_mult * c["clip"],
                 "gamma": c["gamma"],
                 "gae_lambda": c["lam"],
                 "value_coef": c["vc"],
@@ -251,7 +276,10 @@ def main() -> int:
             ent_now = args.ent_floor > 0.0 and (
                 (u + 1) % ent_cadence == 0 or u == 0
             )
-            if log_now or ent_now:
+            kl_now = args.kl_target > 0.0 and (
+                (u + 1) % kl_cadence == 0 or u == 0
+            )
+            if log_now or ent_now or kl_now:
                 last_ret = float(metrics["episode_return"])
                 entropy = float(metrics["entropy"])
                 if ent_now:
@@ -261,12 +289,24 @@ def main() -> int:
                                        * (args.ent_floor - entropy))),
                         args.ent_max_mult,
                     )
+                if kl_now:
+                    kl = float(metrics["approx_kl"])
+                    if kl > 2.0 * args.kl_target:
+                        clip_mult = max(
+                            clip_mult / args.kl_adapt, args.kl_min_mult
+                        )
+                    elif kl < 0.5 * args.kl_target:
+                        clip_mult = min(
+                            clip_mult * args.kl_adapt, args.kl_max_mult
+                        )
                 if log_now and metrics_f is not None:
                     # full precision: json floats round-trip exactly, so
                     # two runs' streams can be compared bit-for-bit
                     row = {"config": name, "update": u + 1,
                            "ent_mult": ent_mult, "lr": hypers["lr"],
-                           "entropy_coef": hypers["entropy_coef"]}
+                           "entropy_coef": hypers["entropy_coef"],
+                           "clip_mult": clip_mult,
+                           "clip_eps": hypers["clip_eps"]}
                     row.update(
                         (k, float(v)) for k, v in sorted(metrics.items())
                     )
@@ -279,6 +319,8 @@ def main() -> int:
                         f"entropy {entropy:.3f}"
                         + (f" ent_mult {ent_mult:.2f}"
                            if args.ent_floor > 0.0 else "")
+                        + (f" clip_mult {clip_mult:.3f}"
+                           if args.kl_target > 0.0 else "")
                         + (f" lr {hypers['lr']:.2e}"
                            if args.lr_decay_start > 0.0 else ""),
                         file=sys.stderr,
@@ -316,6 +358,12 @@ def main() -> int:
             "ent_floor": args.ent_floor,
             "ent_every": ent_cadence if args.ent_floor > 0.0 else 0,
             "ent_mult_final": round(ent_mult, 3),
+            "kl_target": args.kl_target,
+            "kl_adapt": args.kl_adapt,
+            "kl_min_mult": args.kl_min_mult,
+            "kl_max_mult": args.kl_max_mult,
+            "kl_every": kl_cadence if args.kl_target > 0.0 else 0,
+            "clip_mult_final": round(clip_mult, 4),
             "updates": args.updates,
             "greedy_return": round(ret, 1),
             "eval_episodes": n_eps,
@@ -342,7 +390,7 @@ def main() -> int:
         # same-input check.
         outcome_keys = {
             "greedy_return", "eval_episodes", "final_train_return",
-            "train_s", "frames_per_s", "ent_mult_final",
+            "train_s", "frames_per_s", "ent_mult_final", "clip_mult_final",
         }
         run_meta["recipe"] = {
             k: v for k, v in best[3].items() if k not in outcome_keys

@@ -238,3 +238,43 @@ def test_sweep_entropy_floor_controller_raises_coef(tmp_path):
     assert rec["ent_mult_final"] == 7.5  # hit the cap
     # log lines surface the controller state
     assert "ent_mult" in r.stderr
+
+
+@pytest.mark.slow
+def test_sweep_kl_adaptive_clip_controller(tmp_path):
+    """--kl-target: the host-side banded controller scales the clip
+    multiplier (round-5 probe of the one untried quality lever named by
+    RESULTS.md).  approx_kl below target/2 must grow clip_mult to the cap;
+    above 2*target must shrink it to the floor; kl-target 0 leaves 1.0."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    common = [
+        sys.executable, str(repo / "scripts" / "sweep_ppo.py"),
+        "--configs", "base", "--updates", "6",
+        "--num-envs", "16", "--rollout-len", "8",
+        "--eval-envs", "8", "--eval-steps", "32",
+        "--platform", "cpu", "--torso", "mlp", "--mlp-width", "32",
+        "--log-every", "2", "--kl-adapt", "2.0",
+        "--kl-min-mult", "0.125", "--kl-max-mult", "8.0",
+    ]
+    # unreachably HIGH target: every firing sees kl < target/2 -> cap
+    r = subprocess.run(
+        common + ["--kl-target", "1000.0"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(
+        [l for l in r.stdout.strip().splitlines() if l.startswith("{")][0]
+    )
+    assert rec["kl_target"] == 1000.0
+    assert rec["clip_mult_final"] == 8.0  # hit the cap
+    assert "clip_mult" in r.stderr  # log lines surface controller state
+    # unreachably LOW target: every firing sees kl > 2*target -> floor
+    r = subprocess.run(
+        common + ["--kl-target", "1e-12"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(
+        [l for l in r.stdout.strip().splitlines() if l.startswith("{")][0]
+    )
+    assert rec["clip_mult_final"] == 0.125  # hit the floor
