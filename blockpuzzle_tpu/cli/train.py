@@ -198,10 +198,14 @@ def main(argv=None) -> int:
 
     if ckpt:
         # operational flags that do not define the training trajectory —
-        # everything else in argparse IS the recipe and gets recorded
+        # everything else in argparse IS the recipe and gets recorded.
+        # "tp" sits with "distributed": both only change the SHARDING of
+        # a bit-equivalent computation (test_dist pins sharded==unsharded),
+        # so recipe-equality stays a same-trajectory check across them.
         non_recipe = {
             "log_dir", "log_every", "checkpoint_dir", "checkpoint_every",
             "resume", "profile_dir", "platform", "debug", "distributed",
+            "tp",
         }
         # self-describing checkpoint dir: cli.evaluate auto-fills its
         # network/env flags from this (utils/checkpoint.py:save_run_meta)

@@ -86,8 +86,9 @@ def legal_words(env, board_words: jax.Array, queue: jax.Array) -> jax.Array:
     (N, H) u32 board."""
     if env.state_impl != "packed":
         raise ValueError("legal_words needs a packed-state engine")
-    w = env.cfg.width
-    pow2 = jnp.asarray(np.uint32(1) << np.arange(w, dtype=np.uint32))
+    # the engine's own column packing weights (core.py builds them with
+    # its bitboard tables) — one definition of the packed-word layout
+    pow2 = jnp.asarray(env._bb_pow2)
     outs = []
     for legal3, pid_ok in env._bitboard_legal_slots(board_words, queue):
         legal = legal3 & pid_ok[:, None, None]

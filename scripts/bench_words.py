@@ -127,7 +127,11 @@ def main() -> int:
             print(f"[{mode}] window {win}: {rate / 1e6:.2f}M steps/s",
                   file=sys.stderr)
         rates.sort()
-        results[mode] = rates[len(rates) // 2]
+        # true median (for an even window count, the mean of the middle
+        # pair — `rates[len//2]` alone would be the MAX at --windows 2)
+        mid = len(rates) // 2
+        results[mode] = (rates[mid] if len(rates) % 2
+                         else 0.5 * (rates[mid - 1] + rates[mid]))
         print(json.dumps({"mode": mode, "num_envs": n,
                           "steps_per_s": round(results[mode])}))
         sys.stdout.flush()

@@ -23,9 +23,10 @@ import sys
 
 # Fields produced by DEVICE math (divergence here = the device program or
 # its inputs differed).  Host-side schedule fields (lr, entropy_coef,
-# ent_mult) are compared too but reported separately: a difference there
-# means the HYPER inputs differed, explaining (not mystifying) the rest.
-HYPER_FIELDS = ("lr", "entropy_coef", "ent_mult")
+# ent_mult, and the round-5 KL-clip controller's clip_mult/clip_eps) are
+# compared too but reported separately: a difference there means the
+# HYPER inputs differed, explaining (not mystifying) the rest.
+HYPER_FIELDS = ("lr", "entropy_coef", "ent_mult", "clip_mult", "clip_eps")
 
 
 def load(path: str) -> dict[tuple, dict]:

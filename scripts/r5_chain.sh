@@ -21,8 +21,18 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 PY=/opt/venv/bin/python
 DEADLINE=${R5_DEADLINE:-$(( $(date +%s) + 37800 ))}   # default: now + 10.5h
 
-run() {  # run <timeout_s> <cmd...>
+run() {  # run <timeout_s> <cmd...> — timeout clamped to the DEADLINE so
+  # an admitted stage can never hold the one-process TPU through the
+  # driver's end-of-round bench window (review finding: the per-stage
+  # timeouts exceed their need() estimates)
   local t=$1; shift
+  local now cap
+  now=$(date +%s); cap=$(( DEADLINE - now - 60 ))
+  (( t > cap )) && t=$cap
+  if (( t < 1 )); then
+    echo "=== SKIP (past deadline) $*"
+    return 1
+  fi
   echo "=== $(date +%H:%M:%S) $*"
   timeout "$t" "$@"
   echo "=== rc=$? $(date +%H:%M:%S)"

@@ -282,6 +282,12 @@ def main() -> int:
             if log_now or ent_now or kl_now:
                 last_ret = float(metrics["episode_return"])
                 entropy = float(metrics["entropy"])
+                # the multipliers THIS update actually ran with — the
+                # controllers below advance the state for the NEXT update,
+                # and the logged row must describe this one (otherwise
+                # clip_eps != clip_mult*clip within a row whenever a
+                # controller fires on a log boundary)
+                applied_ent_mult, applied_clip_mult = ent_mult, clip_mult
                 if ent_now:
                     ent_mult = min(
                         max(1.0, ent_mult
@@ -303,9 +309,9 @@ def main() -> int:
                     # full precision: json floats round-trip exactly, so
                     # two runs' streams can be compared bit-for-bit
                     row = {"config": name, "update": u + 1,
-                           "ent_mult": ent_mult, "lr": hypers["lr"],
+                           "ent_mult": applied_ent_mult, "lr": hypers["lr"],
                            "entropy_coef": hypers["entropy_coef"],
-                           "clip_mult": clip_mult,
+                           "clip_mult": applied_clip_mult,
                            "clip_eps": hypers["clip_eps"]}
                     row.update(
                         (k, float(v)) for k, v in sorted(metrics.items())
