@@ -61,6 +61,9 @@ def test_evaluate_autofills_from_run_meta(tmp_path, capsys):
     assert recipe["num_envs"] == 16 and recipe["rollout_len"] == 8
     assert recipe["lr"] == 3e-4 and recipe["env"] == ["cell_reward=2.0"]
     assert "checkpoint_dir" not in recipe  # operational flags excluded
+    # sharding-only flags excluded too: tp/distributed change layout,
+    # not the trajectory (test_dist pins sharded==unsharded)
+    assert "tp" not in recipe and "distributed" not in recipe
 
 
 @pytest.mark.slow
