@@ -73,6 +73,18 @@ def rollout(state, mask, key):
 state, rewards = rollout(state, ts.action_mask, jax.random.key(1))
 print(f"engine: 100x1024 steps, reward/step {float(rewards.mean()):.2f}")
 
+# ── 3b. serving-side packed legal-words mask (env/words.py) ─────────────
+# a consumer that wants the legal mask as (N, S*H) u32 row words instead
+# of the (N, A) bool tensor — e.g. to ship it over a wire — samples
+# uniform-legal actions via popcount rank-select (bit-parity-tested; NOT
+# the step default: measured 0.88x the argmax path, docs/RESULTS.md)
+from blockpuzzle_tpu.env import words
+
+wmask = words.legal_words(engine, state.board, state.queue)
+acts = words.sample_uniform_legal(wmask, jax.random.key(2), engine.cfg.width)
+print(f"words sampler: one uniform-legal action per env "
+      f"(N={int(acts.shape[0])}), first id {int(acts[0])}")
+
 # ── 4. training: see the CLIs ───────────────────────────────────────────
 print("train:    python -m blockpuzzle_tpu.cli.train --algo ppo")
 print("evaluate: python -m blockpuzzle_tpu.cli.evaluate --checkpoint-dir ...")
